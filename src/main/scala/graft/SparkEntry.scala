@@ -1,13 +1,104 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.data.Interleaved
+import graft.checks.{Referential, SpanInvariant, Stats, Uniqueness, Verdicts}
+import graft.rules.RuleCompiler
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  * Every implemented operator has a `queries` entry (Spark) and, where
+  * ANSI-SQL-expressible, an `oracleSql` entry (DuckDB) over the same
+  * parquet tables.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  /** Flagship: full validation pipeline (rule keywords + span-sequence
+    * invariant + per-partition conjunction) on sf0.001.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val documents = Tables.documents(spark, dir)
+    val docs = Interleaved.docs(documents)
+    val ref = Interleaved.referenceSpans(documents)
+    Verdicts.perPartition(SpanInvariant.verdicts(docs, ref))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- relational core -------------------------------------------------
+    "q1_agg" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 4).as("sum_qty"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+            .as("revenue"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // ---- validation engine ----------------------------------------------
+    "v_span_verdicts" -> ((s, dir) => {
+      val documents = Tables.documents(s, dir)
+      SpanInvariant.verdicts(
+          Interleaved.docs(documents), Interleaved.referenceSpans(documents))
+        .orderBy(col("doc_id"))
+    }),
+    "v_span_violations" -> ((s, dir) => {
+      val documents = Tables.documents(s, dir)
+      SpanInvariant.mismatches(
+          Interleaved.docs(documents), Interleaved.referenceSpans(documents))
+        .select(col("doc_id"), explode(col("violations")).as("v"))
+        .select(col("doc_id"), col("v.pointer").as("pointer"),
+          col("v.keyword").as("keyword"), col("v.message").as("message"),
+          col("v.schemaLocation").as("schemaLocation"))
+        .orderBy(col("doc_id"), col("pointer"))
+    }),
+    "v_rule_violations" -> ((s, dir) => {
+      val docs = Interleaved.docs(Tables.documents(s, dir))
+      docs
+        .select(col("doc_id"),
+          explode(RuleCompiler.violations(col("spans"),
+            RuleCompiler.docRules)).as("v"))
+        .select(col("doc_id"), col("v.pointer").as("pointer"),
+          col("v.keyword").as("keyword"), col("v.message").as("message"),
+          col("v.schemaLocation").as("schemaLocation"))
+        .orderBy(col("doc_id"), col("pointer"), col("keyword"))
+    }),
+    "v_uniqueness" -> ((s, dir) => {
+      Uniqueness.duplicates(
+          Interleaved.docsWithDups(Tables.documents(s, dir)))
+        .orderBy(col("doc_id"))
+    }),
+    "v_referential" -> ((s, dir) => {
+      val documents = Tables.documents(s, dir)
+      Referential.dangling(
+          Interleaved.docs(documents), Interleaved.mediaCatalog(documents))
+        .orderBy(col("doc_id"), col("media_ref"))
+    }),
+    "v_partition_verdicts" -> ((s, dir) => {
+      val documents = Tables.documents(s, dir)
+      Verdicts.perPartition(SpanInvariant.verdicts(
+          Interleaved.docs(documents), Interleaved.referenceSpans(documents)))
+        .orderBy(col("part"))
+    }),
+    "v_column_stats" -> ((s, dir) => {
+      Stats.columnStats(Tables.documents(s, dir),
+          Seq("doc_id", "lang", "source", "n_chars"), exact = true)
+        .orderBy(col("col_name"))
+    }),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" -> Oracles.q1Agg,
+    "v_span_verdicts" -> Oracles.spanVerdicts,
+    "v_span_violations" -> Oracles.spanViolations,
+    "v_rule_violations" -> Oracles.ruleViolations,
+    "v_uniqueness" -> Oracles.uniqueness,
+    "v_referential" -> Oracles.referential,
+    "v_partition_verdicts" -> Oracles.partitionVerdicts,
+    "v_column_stats" -> Oracles.columnStats,
+  )
 }

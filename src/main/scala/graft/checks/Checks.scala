@@ -1,0 +1,132 @@
+package graft.checks
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Table-scale check suites of the validation engine (north rule): span
+  * invariant, uniqueness, referential, column stats, per-partition
+  * verdicts. All emit Datasets; renderers live in [[graft.report]].
+  */
+object SpanInvariant {
+  /** Per-row invariant: span-sequence equality (kind, text, media_ref,
+    * order) against the reference table (BASELINE.json input_hint),
+    * evaluated with arrays_zip + higher-order functions — one codegen'd
+    * projection after a doc_id-keyed join.
+    *
+    * Scale: the join shuffles both sides on doc_id (sort-merge at 10^12
+    * rows); with both tables bucketed/partitioned by doc_id in Iceberg the
+    * shuffle is elided entirely. No other shuffle exists in this check.
+    */
+  def mismatches(docs: DataFrame, ref: DataFrame): DataFrame = {
+    val joined = docs.join(
+      ref.select(col("doc_id"), col("spans").as("ref_spans")),
+      Seq("doc_id"), "inner")
+    val zipped = arrays_zip(col("spans"), col("ref_spans"))
+    val viols = filter(
+      transform(zipped, (p, i) => {
+        val a = p.getField("spans")
+        val b = p.getField("ref_spans")
+        val mismatch = !(a.getField("kind") <=> b.getField("kind") &&
+          a.getField("text") <=> b.getField("text") &&
+          a.getField("media_ref") <=> b.getField("media_ref") &&
+          a.getField("offset") <=> b.getField("offset"))
+        when(a.isNull || b.isNull || mismatch, struct(
+          concat(lit("/spans/"), i.cast("string")).as("pointer"),
+          lit("spanSequence").as("keyword"),
+          lit("span does not equal reference (kind, text, media_ref, order)")
+            .as("message"),
+          lit("#/properties/spans/spanSequence").as("schemaLocation")))
+      }),
+      v => v.isNotNull)
+    joined.select(col("doc_id"), col("part"), viols.as("violations"))
+  }
+
+  /** Per-doc verdicts: valid iff zero span mismatches. */
+  def verdicts(docs: DataFrame, ref: DataFrame): DataFrame =
+    mismatches(docs, ref)
+      .select(col("doc_id"), col("part"),
+        (size(col("violations")) === 0).as("valid"),
+        size(col("violations")).as("n_violations"))
+}
+
+object Uniqueness {
+  /** Duplicate doc_id detection — partial (map-side) count then shuffle on
+    * doc_id; emits one row per duplicated key with its multiplicity
+    * (SURVEY.md §2.6).
+    */
+  def duplicates(docs: DataFrame): DataFrame =
+    docs.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1)
+}
+
+object Referential {
+  /** Dangling media_ref detection: explode spans, keep media refs, anti-join
+    * the media catalog. The catalog is a small dimension → broadcast hash
+    * join (no shuffle of the fact side). At 10^12 rows with a huge catalog
+    * this degrades gracefully to a shuffled hash join; hot keys are handled
+    * by AQE skew splitting (enabled in [[graft.Sessions]]).
+    */
+  def dangling(docs: DataFrame, catalog: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), explode(col("spans")).as("s"))
+      .select(col("doc_id"), col("s.media_ref").as("media_ref"))
+      .filter(col("media_ref").isNotNull)
+      .join(broadcast(catalog.select("media_ref")), Seq("media_ref"),
+        "left_anti")
+      .groupBy(col("doc_id"), col("media_ref"))
+      .agg(count(lit(1)).as("cnt"))
+}
+
+object Verdicts {
+  /** Per-partition conjunction (reference A1, FilesOutput.java:47-50
+    * allMatch) plus counts (A2/A3) in one aggregation pass.
+    */
+  def perPartition(docVerdicts: DataFrame): DataFrame =
+    docVerdicts.groupBy(col("part")).agg(
+      count(lit(1)).as("docs"),
+      count_if(!col("valid")).as("invalid_docs"),
+      sum(col("n_violations")).cast("long").as("violations"))
+      .withColumn("valid", col("invalid_docs") === 0) // AND-conjunction
+      .select("part", "valid", "docs", "invalid_docs", "violations")
+
+  /** Run verdict: exit-code semantics (K3) — true iff every doc valid. */
+  def runValid(docVerdicts: DataFrame): Boolean =
+    docVerdicts.agg(count_if(!col("valid"))).head.getLong(0) == 0L
+}
+
+object Stats {
+  /** One-pass exact per-column profile (count, nulls, null-rate, min, max,
+    * distinct) in long format. Single aggregation → single shuffle of one
+    * row per partial; at 10^12 rows this is the cheapest full-scan shape.
+    * `approxDistinct` uses HLL++ (`approx_count_distinct`) — swap in
+    * `countDistinct` only for oracle-exact comparisons at test scale.
+    */
+  def columnStats(df: DataFrame, cols: Seq[String], exact: Boolean = false)
+      : DataFrame = {
+    val n = count(lit(1))
+    val aggs = cols.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"${c}__nonnull"),
+        min(col(c)).cast("string").as(s"${c}__min"),
+        max(col(c)).cast("string").as(s"${c}__max"),
+        (if (exact) countDistinct(col(c))
+         else approx_count_distinct(col(c))).as(s"${c}__distinct"))
+    }
+    val row = df.agg(n.as("__n"), aggs: _*)
+    // unpivot the single wide row into long format via stack
+    val stackArgs = cols.map { c =>
+      s"'$c', `${c}__nonnull`, `${c}__min`, `${c}__max`, `${c}__distinct`"
+    }.mkString(", ")
+    row.selectExpr("__n",
+      s"stack(${cols.size}, $stackArgs) as " +
+        "(col_name, nonnull_count, min_value, max_value, distinct_count)")
+      .select(
+        col("col_name"),
+        col("__n").as("count"),
+        (col("__n") - col("nonnull_count")).as("nulls"),
+        round((col("__n") - col("nonnull_count")) / col("__n"), 4)
+          .as("null_rate"),
+        col("min_value"), col("max_value"), col("distinct_count"))
+  }
+}
