@@ -135,6 +135,97 @@ object Oracles {
     Seq("doc_id", "lang", "source", "n_chars").map(statsCol)
       .mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY col_name")
 
+  val q2FilterProject: String =
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+      |FROM lineitem
+      |WHERE l_quantity > 45 AND l_extendedprice > 40000
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  val q3JoinBroadcast: String =
+    """SELECT c_mktsegment, ROUND(SUM(o_totalprice), 4) AS revenue,
+      |  CAST(COUNT(*) AS BIGINT) AS n_orders
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  val q4JoinShuffle: String =
+    """SELECT c_mktsegment, o_orderstatus,
+      |  ROUND(SUM(l_extendedprice * (1-l_discount)), 4) AS revenue,
+      |  CAST(COUNT(*) AS BIGINT) AS n
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment, o_orderstatus
+      |ORDER BY c_mktsegment, o_orderstatus""".stripMargin
+
+  val q5SemiJoin: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE c_custkey IN
+      |  (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+      |ORDER BY c_custkey""".stripMargin
+
+  val q6AntiJoin: String =
+    """SELECT c_custkey, c_mktsegment FROM customer c
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |  WHERE o.o_custkey = c.c_custkey
+      |    AND o.o_orderpriority = '1-URGENT')
+      |ORDER BY c_custkey""".stripMargin
+
+  val q7Window: String =
+    """SELECT o_custkey, o_orderkey, price, rn FROM (
+      |  SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 4) AS price,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+      |      ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn
+      |  FROM orders)
+      |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin
+
+  val q8SortLimit: String =
+    """SELECT l_orderkey, l_linenumber, ROUND(l_extendedprice, 4) AS price
+      |FROM lineitem
+      |ORDER BY price DESC, l_orderkey, l_linenumber LIMIT 10""".stripMargin
+
+  val q9Distinct: String =
+    """SELECT l_returnflag,
+      |  CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS parts,
+      |  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supps,
+      |  CAST(COUNT(*) AS BIGINT) AS n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  val q10SetOps: String =
+    """SELECT o_custkey, 'only_open' AS tag FROM (
+      |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+      |  EXCEPT
+      |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+      |UNION ALL
+      |SELECT o_custkey, 'both' AS tag FROM (
+      |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+      |  INTERSECT
+      |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+      |ORDER BY tag, o_custkey""".stripMargin
+
+  val q11Rollup: String =
+    """SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS n,
+      |  ROUND(SUM(l_quantity), 4) AS qty
+      |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""
+      .stripMargin
+
+  val q12HofSpans: String = spanCtes +
+    """
+      |SELECT doc_id,
+      |  bool_or(kind = 'image' AND coalesce(media_ref,'') LIKE '%7')
+      |    AS has_ref7,
+      |  CAST(SUM(CASE WHEN kind = 'image' THEN 1 ELSE 0 END) AS INTEGER)
+      |    AS n_images,
+      |  CAST(SUM(CASE WHEN text IS NOT NULL THEN length(text) ELSE 0 END)
+      |    AS INTEGER) AS text_chars
+      |FROM spans GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  val q13EventsHourly: String =
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
+      |  event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |  ROUND(SUM(value), 4) AS total
+      |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin
+
   val q1Agg: String =
     """SELECT l_returnflag, l_linestatus,
       |  ROUND(SUM(l_quantity), 4) AS sum_qty,

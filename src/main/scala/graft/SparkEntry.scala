@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.data.Interleaved
+import graft.operators.Relational
 import graft.checks.{Referential, SpanInvariant, Stats, Uniqueness, Verdicts}
 import graft.rules.RuleCompiler
 
@@ -38,6 +39,19 @@ object SparkEntry {
           count(lit(1)).as("n"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     }),
+
+    "q2_filter_project" -> (Relational.filterProject _),
+    "q3_join_broadcast" -> (Relational.joinBroadcast _),
+    "q4_join_shuffle" -> (Relational.joinShuffle _),
+    "q5_semi_join" -> (Relational.semiJoin _),
+    "q6_anti_join" -> (Relational.antiJoin _),
+    "q7_window" -> (Relational.windowTopK _),
+    "q8_sort_limit" -> (Relational.sortLimit _),
+    "q9_distinct" -> (Relational.distinctAgg _),
+    "q10_setops" -> (Relational.setOps _),
+    "q11_rollup" -> (Relational.rollupAgg _),
+    "q12_hof_spans" -> (Relational.hofSpans _),
+    "q13_events_hourly" -> (Relational.eventsHourly _),
 
     // ---- validation engine ----------------------------------------------
     "v_span_verdicts" -> ((s, dir) => {
@@ -93,6 +107,18 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "q1_agg" -> Oracles.q1Agg,
+    "q2_filter_project" -> Oracles.q2FilterProject,
+    "q3_join_broadcast" -> Oracles.q3JoinBroadcast,
+    "q4_join_shuffle" -> Oracles.q4JoinShuffle,
+    "q5_semi_join" -> Oracles.q5SemiJoin,
+    "q6_anti_join" -> Oracles.q6AntiJoin,
+    "q7_window" -> Oracles.q7Window,
+    "q8_sort_limit" -> Oracles.q8SortLimit,
+    "q9_distinct" -> Oracles.q9Distinct,
+    "q10_setops" -> Oracles.q10SetOps,
+    "q11_rollup" -> Oracles.q11Rollup,
+    "q12_hof_spans" -> Oracles.q12HofSpans,
+    "q13_events_hourly" -> Oracles.q13EventsHourly,
     "v_span_verdicts" -> Oracles.spanVerdicts,
     "v_span_violations" -> Oracles.spanViolations,
     "v_rule_violations" -> Oracles.ruleViolations,

@@ -1,0 +1,162 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.data.Interleaved
+
+/** Relational operator coverage (SURVEY.md §2.4-§2.7): joins in every
+  * flavor the north rule needs (broadcast/shuffle/semi/anti), windows,
+  * sorts+limits, set ops, rollup, higher-order array functions, and
+  * time-bucketed aggregation. All plans are declarative — Catalyst picks
+  * partial aggregation, pushes filters/projections into the parquet scan,
+  * and AQE re-plans shuffles at runtime.
+  */
+object Relational {
+
+  /** Filter + projection; predicate and column pruning reach the scan
+    * (`PushedFilters`/`ReadSchema` in explain).
+    */
+  def filterProject(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"))
+      .filter(col("l_quantity") > 45 && col("l_extendedprice") > 40000)
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  /** Broadcast hash join: customer is a dimension → broadcast, no shuffle
+    * of the orders side.
+    */
+  def joinBroadcast(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .join(broadcast(Tables.customer(s, dir)),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        round(sum(col("o_totalprice")), 4).as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("c_mktsegment"))
+
+  /** Fact-to-fact shuffle join (sort-merge/shuffled-hash at scale) plus a
+    * broadcast dim, then aggregation — the canonical star-join shape.
+    */
+  def joinShuffle(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, dir)),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("o_orderstatus"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+          .as("revenue"),
+        count(lit(1)).as("n"))
+      .orderBy(col("c_mktsegment"), col("o_orderstatus"))
+
+  /** Left-semi join — EXISTS. */
+  def semiJoin(s: SparkSession, dir: String): DataFrame = {
+    val bigOrders = Tables.orders(s, dir).filter(col("o_totalprice") > 400000)
+      .select(col("o_custkey"))
+    Tables.customer(s, dir)
+      .join(bigOrders, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Left-anti join — NOT EXISTS. */
+  def antiJoin(s: SparkSession, dir: String): DataFrame = {
+    val urgent = Tables.orders(s, dir)
+      .filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey"))
+    Tables.customer(s, dir)
+      .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Window functions: top-3 orders per customer by totalprice, plus a
+    * running per-customer order rank — one shuffle on the partition key.
+    */
+  def windowTopK(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(col("o_totalprice"), 4).as("price"), col("rn"))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  /** Global sort + limit (TakeOrderedAndProject — no full sort at scale). */
+  def sortLimit(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        round(col("l_extendedprice"), 4).as("price"))
+      .orderBy(col("price").desc, col("l_orderkey"), col("l_linenumber"))
+      .limit(10)
+
+  /** Distinct + exact and approximate distinct counts. */
+  def distinctAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("parts"),
+        countDistinct(col("l_suppkey")).as("supps"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+
+  /** Set ops: customers with open orders but no finished orders (EXCEPT),
+    * and with both (INTERSECT), via union of the two tagged results.
+    */
+  def setOps(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val open = o.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+    val fin = o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+    val exc = open.except(fin).select(col("o_custkey"), lit("only_open").as("tag"))
+    val inter = open.intersect(fin)
+      .select(col("o_custkey"), lit("both").as("tag"))
+    exc.unionAll(inter).orderBy(col("tag"), col("o_custkey"))
+  }
+
+  /** Rollup — hierarchical grouping sets in one pass. */
+  def rollupAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 4).as("qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
+  /** Higher-order functions over the spans array: exists / filter+size /
+    * aggregate (fold) — per-doc media profiling without exploding.
+    */
+  def hofSpans(s: SparkSession, dir: String): DataFrame = {
+    val docs = Interleaved.docs(Tables.documents(s, dir))
+    docs.select(
+      col("doc_id"),
+      // coalesce keeps the predicate two-valued: exists() over a Kleene
+      // null (image span with null media_ref) would yield NULL, not false
+      exists(col("spans"), sp =>
+        sp.getField("kind") === "image" &&
+          coalesce(sp.getField("media_ref"), lit("")).endsWith("7"))
+        .as("has_ref7"),
+      size(filter(col("spans"), sp => sp.getField("kind") === "image"))
+        .as("n_images"),
+      aggregate(col("spans"), lit(0),
+        (acc, sp) => acc + when(sp.getField("text").isNotNull,
+          length(sp.getField("text"))).otherwise(0)).as("text_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Time-bucketed aggregation on the events table — the batch equivalent
+    * of the streaming tumbling-window query in [[graft.streaming]].
+    */
+  def eventsHourly(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:00:00")
+          .as("hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("total"))
+      .orderBy(col("hour"), col("event_type"))
+}
