@@ -226,6 +226,159 @@ object Oracles {
       |  ROUND(SUM(value), 4) AS total
       |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin
 
+  /** Mirrors Dedup.corpus: documents ∪ exact dups ∪ near dups. */
+  val corpusCte: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id%50 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 2000000, text || ' zzz zzz' FROM documents
+      |  WHERE doc_id%50 = 25
+      |)""".stripMargin
+
+  val dedupExact: String = corpusCte +
+    """
+      |SELECT md5(text) AS fingerprint, CAST(COUNT(*) AS BIGINT) AS cnt,
+      |  MIN(doc_id) AS keep_id
+      |FROM corpus GROUP BY 1 HAVING COUNT(*) > 1
+      |ORDER BY fingerprint""".stripMargin
+
+  val jaccardPairs: String = corpusCte +
+    """
+      |, sh AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |    generate_series(1, len(w)-2),
+      |    i -> w[i]||' '||w[i+1]||' '||w[i+2]))) AS sh
+      |  FROM (SELECT doc_id, string_split(text,' ') AS w FROM corpus)
+      |), sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+      |shared AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+      |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT id_a, id_b,
+      |  ROUND(shared/CAST(sa.sz+sb.sz-shared AS DOUBLE), 4) AS jaccard
+      |FROM shared
+      |JOIN sizes sa ON sa.doc_id = id_a
+      |JOIN sizes sb ON sb.doc_id = id_b
+      |WHERE shared/CAST(sa.sz+sb.sz-shared AS DOUBLE) >= 0.59995
+      |ORDER BY id_a, id_b""".stripMargin
+
+  val langId: String =
+    """SELECT doc_id, s_de, s_en, s_es, s_fr,
+      |  CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+      |       WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+      |       WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+      |       WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END AS lang_pred
+      |FROM (
+      |  SELECT doc_id,
+      |    CAST(len(list_filter(w, t -> t IN ('der','die','und','das')))
+      |      AS INTEGER) AS s_de,
+      |    CAST(len(list_filter(w, t -> t IN ('the','a','and','of')))
+      |      AS INTEGER) AS s_en,
+      |    CAST(len(list_filter(w, t -> t IN ('el','la','los','de')))
+      |      AS INTEGER) AS s_es,
+      |    CAST(len(list_filter(w, t -> t IN ('le','la','les','et')))
+      |      AS INTEGER) AS s_fr
+      |  FROM (SELECT doc_id, string_split(text,' ') AS w FROM documents))
+      |ORDER BY doc_id""".stripMargin
+
+  val quality: String =
+    """SELECT doc_id,
+      |  CAST(n_tokens AS INTEGER) AS n_tokens,
+      |  CAST(n_chars_actual AS INTEGER) AS n_chars_actual,
+      |  ROUND(punct_ratio, 4) AS punct_ratio,
+      |  ROUND(stop_ratio, 4) AS stopword_ratio,
+      |  ROUND(mean_token_len, 4) AS mean_token_len,
+      |  ROUND(CAST(CASE WHEN n_tokens >= 10 THEN 0.4 ELSE 0.0 END +
+      |        CASE WHEN punct_ratio <= 0.1 THEN 0.3 ELSE 0.0 END +
+      |        CASE WHEN stop_ratio >= 0.05 THEN 0.3 ELSE 0.0 END
+      |        AS DOUBLE), 4) AS quality_score
+      |FROM (
+      |  SELECT doc_id, len(w) AS n_tokens, length(text) AS n_chars_actual,
+      |    (length(text) - length(regexp_replace(text, '[^a-z ]', '', 'g')))
+      |      / CAST(length(text) AS DOUBLE) AS punct_ratio,
+      |    len(list_filter(w, t -> t IN ('der','die','und','das','the','a',
+      |      'and','of','el','la','los','de','le','les','et')))
+      |      / CAST(len(w) AS DOUBLE) AS stop_ratio,
+      |    (length(text) - (len(w)-1)) / CAST(len(w) AS DOUBLE)
+      |      AS mean_token_len
+      |  FROM (SELECT doc_id, text, string_split(text,' ') AS w
+      |        FROM documents))
+      |ORDER BY doc_id""".stripMargin
+
+  val tokenCounts: String =
+    """SELECT doc_id,
+      |  CAST(len(string_split(text,' ')) AS INTEGER) AS ws_tokens,
+      |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS INTEGER)
+      |    AS regex_tokens,
+      |  CAST(ceil(length(text)/4.0) AS BIGINT) AS bpe_est
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  val fingerprints: String =
+    """SELECT doc_id,
+      |  md5(lower(trim(regexp_replace(text, ' +', ' ', 'g'))))
+      |    AS fingerprint,
+      |  substr(md5(lower(trim(regexp_replace(text, ' +', ' ', 'g')))), 1, 4)
+      |    AS bucket
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  private val cosineExpr =
+    """ROUND(list_dot_product(qe::DOUBLE[], embedding::DOUBLE[]) /
+      |      (sqrt(list_dot_product(qe::DOUBLE[], qe::DOUBLE[])) *
+      |       sqrt(list_dot_product(embedding::DOUBLE[],
+      |            embedding::DOUBLE[]))), 4)""".stripMargin
+
+  val knnBrute: String =
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+       |  WHERE vec_id%50 = 0),
+       |scored AS (
+       |  SELECT qid, e.vec_id, $cosineExpr AS sim
+       |  FROM embeddings e, q WHERE e.vec_id <> qid),
+       |ranked AS (SELECT qid, vec_id, sim,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY qid
+       |    ORDER BY sim DESC, vec_id) AS INTEGER) AS rank FROM scored)
+       |SELECT qid, vec_id, sim, rank FROM ranked WHERE rank <= 3
+       |ORDER BY qid, rank""".stripMargin
+
+  private val bucketExpr: String = (1 to 8).map(i =>
+    s"CASE WHEN embedding[$i] >= 0 THEN '1' ELSE '0' END")
+    .mkString("(", " || ", ")")
+  val knnLsh: String =
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe,
+       |    $bucketExpr AS bucket
+       |  FROM embeddings WHERE vec_id%50 = 0),
+       |scored AS (
+       |  SELECT qid, e.vec_id, $cosineExpr AS sim
+       |  FROM (SELECT vec_id, embedding, $bucketExpr AS bucket
+       |        FROM embeddings) e
+       |  JOIN q USING (bucket) WHERE e.vec_id <> qid),
+       |ranked AS (SELECT qid, vec_id, sim,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY qid
+       |    ORDER BY sim DESC, vec_id) AS INTEGER) AS rank FROM scored)
+       |SELECT qid, vec_id, sim, rank FROM ranked WHERE rank <= 1
+       |ORDER BY qid""".stripMargin
+
+  val mediaFeatures: String =
+    """SELECT 'm'||CAST(x AS VARCHAR) AS media_ref,
+      |  CAST(16 AS INTEGER) AS n_bytes,
+      |  md5('m'||CAST(x AS VARCHAR)) AS payload_hex,
+      |  CAST(32 + (x%8)*16 AS INTEGER) AS width,
+      |  CAST(32 + (x%5)*16 AS INTEGER) AS height
+      |FROM generate_series(0,49) t(x) ORDER BY media_ref""".stripMargin
+
+  val docMediaProfile: String = spanCtes +
+    """
+      |, media AS (
+      |  SELECT 'm'||CAST(x AS VARCHAR) AS media_ref,
+      |    32 + (x%8)*16 AS width, 32 + (x%5)*16 AS height
+      |  FROM generate_series(0,49) t(x))
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_media,
+      |  CAST(SUM(width*height) AS BIGINT) AS total_pixels
+      |FROM spans JOIN media USING (media_ref)
+      |WHERE kind = 'image' AND media_ref IS NOT NULL
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val q1Agg: String =
     """SELECT l_returnflag, l_linestatus,
       |  ROUND(SUM(l_quantity), 4) AS sum_qty,

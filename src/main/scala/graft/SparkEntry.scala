@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.data.Interleaved
-import graft.operators.Relational
+import graft.operators.{Dedup, Multimodal, Relational, Similarity, TextOps}
 import graft.checks.{Referential, SpanInvariant, Stats, Uniqueness, Verdicts}
 import graft.rules.RuleCompiler
 
@@ -52,6 +52,20 @@ object SparkEntry {
     "q11_rollup" -> (Relational.rollupAgg _),
     "q12_hof_spans" -> (Relational.hofSpans _),
     "q13_events_hourly" -> (Relational.eventsHourly _),
+
+    // ---- training-data pipeline ops ---------------------------------------
+    "d_dedup_exact" -> (Dedup.exactDuplicates _),
+    "d_jaccard_pairs" -> ((s, dir) => Dedup.jaccardPairs(s, dir)),
+    "d_minhash_pairs" -> ((s, dir) => Dedup.minhashCandidates(s, dir)),
+    "d_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(s, dir)),
+    "d_langid" -> (TextOps.langId _),
+    "d_quality" -> (TextOps.quality _),
+    "d_tokens" -> (TextOps.tokenCounts _),
+    "d_fingerprint" -> (TextOps.fingerprints _),
+    "e_knn_brute" -> ((s, dir) => Similarity.knnBrute(s, dir)),
+    "e_knn_lsh" -> (Similarity.knnLsh _),
+    "m_media_features" -> (Multimodal.mediaFeatures _),
+    "m_doc_media" -> (Multimodal.docMediaProfile _),
 
     // ---- validation engine ----------------------------------------------
     "v_span_verdicts" -> ((s, dir) => {
@@ -119,6 +133,19 @@ object SparkEntry {
     "q11_rollup" -> Oracles.q11Rollup,
     "q12_hof_spans" -> Oracles.q12HofSpans,
     "q13_events_hourly" -> Oracles.q13EventsHourly,
+    "d_dedup_exact" -> Oracles.dedupExact,
+    "d_jaccard_pairs" -> Oracles.jaccardPairs,
+    // d_minhash_pairs / d_simhash_pairs: Spark-hash-specific (xxhash64)
+    // → no SQL oracle; recall is verified against the exact Jaccard
+    // baseline in DedupSpec.
+    "d_langid" -> Oracles.langId,
+    "d_quality" -> Oracles.quality,
+    "d_tokens" -> Oracles.tokenCounts,
+    "d_fingerprint" -> Oracles.fingerprints,
+    "e_knn_brute" -> Oracles.knnBrute,
+    "e_knn_lsh" -> Oracles.knnLsh,
+    "m_media_features" -> Oracles.mediaFeatures,
+    "m_doc_media" -> Oracles.docMediaProfile,
     "v_span_verdicts" -> Oracles.spanVerdicts,
     "v_span_violations" -> Oracles.spanViolations,
     "v_rule_violations" -> Oracles.ruleViolations,
