@@ -379,6 +379,103 @@ object Oracles {
       |WHERE kind = 'image' AND media_ref IS NOT NULL
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  val drift: String =
+    """WITH ev AS (
+      |  SELECT event_type,
+      |    CASE WHEN date_part('day', ts) <= 15 THEN 'A' ELSE 'B' END
+      |      AS snap,
+      |    least(CAST(floor(value/20) AS INTEGER), 19) AS bucket
+      |  FROM events),
+      |counts AS (SELECT event_type, snap, bucket, COUNT(*) AS cnt
+      |  FROM ev GROUP BY 1,2,3),
+      |totals AS (SELECT event_type, snap, SUM(cnt) AS tot
+      |  FROM counts GROUP BY 1,2),
+      |frac AS (SELECT c.event_type, c.snap, c.bucket,
+      |    cnt/CAST(tot AS DOUBLE) AS p
+      |  FROM counts c JOIN totals t USING (event_type, snap)),
+      |grid AS (SELECT event_type, bucket,
+      |    coalesce(SUM(CASE WHEN snap='A' THEN p END), 0.0) AS pa,
+      |    coalesce(SUM(CASE WHEN snap='B' THEN p END), 0.0) AS pb
+      |  FROM frac GROUP BY 1,2),
+      |cdf AS (SELECT *,
+      |    SUM(pa) OVER (PARTITION BY event_type ORDER BY bucket) AS cdfa,
+      |    SUM(pb) OVER (PARTITION BY event_type ORDER BY bucket) AS cdfb,
+      |    greatest(pa, 1e-6) AS pa_s, greatest(pb, 1e-6) AS pb_s
+      |  FROM grid)
+      |SELECT event_type,
+      |  ROUND(SUM((pa_s-pb_s)*ln(pa_s/pb_s)), 4) AS psi,
+      |  ROUND(MAX(abs(cdfa-cdfb)), 4) AS ks
+      |FROM cdf GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  private val pathsCte: String =
+    """WITH paths AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id%6=0 THEN '.github/workflows/ci-'||doc_id||'.yml'
+      |         WHEN doc_id%6=1 THEN 'k8s/prod/app-'||doc_id||'.yaml'
+      |         WHEN doc_id%6=2 THEN 'docker-compose-'||doc_id||'.yml'
+      |         WHEN doc_id%6=3 THEN 'notes-'||doc_id||'.txt'
+      |         WHEN doc_id%6=4 THEN 'conf-'||doc_id||'.yml'
+      |         ELSE 'data-'||doc_id||'.yml' END AS path,
+      |    CASE WHEN doc_id%6=5
+      |         THEN 'https://example.org/schemas/embedded.json' END
+      |      AS embedded
+      |  FROM documents)""".stripMargin
+
+  private def catValues: String =
+    graft.rules.Catalog.compiled.map { case (name, url, re, spec) =>
+      s"('$name', '$url', '$re', $spec)"
+    }.mkString(", ")
+
+  private def routingSql(defaultUrl: Option[String]): String = {
+    val d = defaultUrl.map(u => s"'$u'").getOrElse("CAST(NULL AS VARCHAR)")
+    pathsCte +
+      s"""
+         |, cat(cat_name, cat_url, regex, spec) AS (VALUES $catValues),
+         |m AS (
+         |  SELECT doc_id, path, embedded, cat_url, spec,
+         |    ROW_NUMBER() OVER (PARTITION BY doc_id
+         |      ORDER BY spec DESC NULLS LAST, cat_url DESC NULLS LAST)
+         |      AS rn
+         |  FROM paths LEFT JOIN cat ON regexp_matches(path, regex))
+         |SELECT doc_id, path,
+         |  coalesce(embedded, cat_url, $d) AS schema_url,
+         |  CASE WHEN embedded IS NOT NULL THEN 'embedded'
+         |       WHEN cat_url IS NOT NULL THEN 'catalog'
+         |       WHEN $d IS NOT NULL THEN 'default'
+         |       ELSE 'error' END AS resolution,
+         |  CASE WHEN embedded IS NULL AND cat_url IS NULL AND $d IS NULL
+         |       THEN 'No schema found in YAML file or provided as parameter'
+         |       END AS error
+         |FROM m WHERE rn = 1 ORDER BY doc_id""".stripMargin
+  }
+
+  val routingDefault: String =
+    routingSql(Some("https://example.org/schemas/default.json"))
+  val routingNone: String = routingSql(None)
+
+  val parseJson: String =
+    """SELECT event_id,
+      |  CASE WHEN json_valid(j) THEN CAST(j->>'k' AS INTEGER) END AS k,
+      |  json_valid(j) AS parse_ok,
+      |  CASE WHEN NOT json_valid(j)
+      |       THEN 'parse error: malformed JSON document' END AS error
+      |FROM (SELECT event_id,
+      |  CASE WHEN event_id%97=0 THEN replace(props,'}','') ELSE props END
+      |    AS j FROM events)
+      |ORDER BY event_id""".stripMargin
+
+  val summary: String = spanCtes +
+    """
+      |, v AS (
+      |  SELECT doc_id, SUM(CASE WHEN bad THEN 1 ELSE 0 END) AS nv
+      |  FROM mismatch GROUP BY doc_id)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS docs,
+      |  CAST(SUM(CASE WHEN nv=0 THEN 1 ELSE 0 END) AS BIGINT) AS valid_docs,
+      |  CAST(SUM(CASE WHEN nv>0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS invalid_docs,
+      |  CAST(SUM(nv) AS BIGINT) AS violations
+      |FROM v""".stripMargin
+
   val q1Agg: String =
     """SELECT l_returnflag, l_linestatus,
       |  ROUND(SUM(l_quantity), 4) AS sum_qty,

@@ -5,8 +5,8 @@ import org.apache.spark.sql.functions._
 
 import graft.data.Interleaved
 import graft.operators.{Dedup, Multimodal, Relational, Similarity, TextOps}
-import graft.checks.{Referential, SpanInvariant, Stats, Uniqueness, Verdicts}
-import graft.rules.RuleCompiler
+import graft.checks.{Drift, Referential, SpanInvariant, Stats, Uniqueness, Verdicts}
+import graft.rules.{Catalog, RuleCompiler}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Every implemented operator has a `queries` entry (Spark) and, where
@@ -52,6 +52,7 @@ object SparkEntry {
     "q11_rollup" -> (Relational.rollupAgg _),
     "q12_hof_spans" -> (Relational.hofSpans _),
     "q13_events_hourly" -> (Relational.eventsHourly _),
+    "q14_parse_json" -> (Relational.parseJsonProps _),
 
     // ---- training-data pipeline ops ---------------------------------------
     "d_dedup_exact" -> (Dedup.exactDuplicates _),
@@ -112,6 +113,20 @@ object SparkEntry {
           Interleaved.docs(documents), Interleaved.referenceSpans(documents)))
         .orderBy(col("part"))
     }),
+    "v_drift" -> (Drift.eventValueDrift _),
+    "v_routing_default" -> ((s, dir) => {
+      Catalog.resolve(Catalog.docPaths(s, dir),
+          Some("https://example.org/schemas/default.json"))
+        .orderBy(col("doc_id"))
+    }),
+    "v_routing_none" -> ((s, dir) => {
+      Catalog.resolve(Catalog.docPaths(s, dir), None).orderBy(col("doc_id"))
+    }),
+    "v_summary" -> ((s, dir) => {
+      val documents = Tables.documents(s, dir)
+      Verdicts.summary(SpanInvariant.verdicts(
+        Interleaved.docs(documents), Interleaved.referenceSpans(documents)))
+    }),
     "v_column_stats" -> ((s, dir) => {
       Stats.columnStats(Tables.documents(s, dir),
           Seq("doc_id", "lang", "source", "n_chars"), exact = true)
@@ -146,6 +161,11 @@ object SparkEntry {
     "e_knn_lsh" -> Oracles.knnLsh,
     "m_media_features" -> Oracles.mediaFeatures,
     "m_doc_media" -> Oracles.docMediaProfile,
+    "q14_parse_json" -> Oracles.parseJson,
+    "v_drift" -> Oracles.drift,
+    "v_routing_default" -> Oracles.routingDefault,
+    "v_routing_none" -> Oracles.routingNone,
+    "v_summary" -> Oracles.summary,
     "v_span_verdicts" -> Oracles.spanVerdicts,
     "v_span_violations" -> Oracles.spanViolations,
     "v_rule_violations" -> Oracles.ruleViolations,

@@ -90,6 +90,16 @@ object Verdicts {
       .withColumn("valid", col("invalid_docs") === 0) // AND-conjunction
       .select("part", "valid", "docs", "invalid_docs", "violations")
 
+  /** Run-level summary counts (reference A3, FilesOutputToLlm.java:41-68):
+    * docs / valid / invalid / total violations in one aggregation.
+    */
+  def summary(docVerdicts: DataFrame): DataFrame =
+    docVerdicts.agg(
+      count(lit(1)).as("docs"),
+      count_if(col("valid")).as("valid_docs"),
+      count_if(!col("valid")).as("invalid_docs"),
+      sum(col("n_violations")).cast("long").as("violations"))
+
   /** Run verdict: exit-code semantics (K3) — true iff every doc valid. */
   def runValid(docVerdicts: DataFrame): Boolean =
     docVerdicts.agg(count_if(!col("valid"))).head.getLong(0) == 0L

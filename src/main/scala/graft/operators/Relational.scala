@@ -148,6 +148,26 @@ object Relational {
       .orderBy(col("doc_id"))
   }
 
+  /** JSON parse with parse-error capture (reference P1/P4: parse failure
+    * becomes an invalid row with a message, never an abort —
+    * YamlSchemaValidator.java:100-103). Corruption injected on
+    * event_id%97==0 rows; from_json is PERMISSIVE so malformed input
+    * degrades to null and surfaces as an error row.
+    */
+  def parseJsonProps(s: SparkSession, dir: String): DataFrame = {
+    val j = when(col("event_id") % 97 === 0,
+      regexp_replace(col("props"), "\\}", "")).otherwise(col("props"))
+    val k = from_json(j,
+      org.apache.spark.sql.types.StructType.fromDDL("k INT")).getField("k")
+    Tables.events(s, dir).select(
+      col("event_id"),
+      k.as("k"),
+      k.isNotNull.as("parse_ok"),
+      when(k.isNull, lit("parse error: malformed JSON document"))
+        .otherwise(lit(null).cast("string")).as("error"))
+      .orderBy(col("event_id"))
+  }
+
   /** Time-bucketed aggregation on the events table — the batch equivalent
     * of the streaming tumbling-window query in [[graft.streaming]].
     */
