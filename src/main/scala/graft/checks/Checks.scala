@@ -17,12 +17,12 @@ object SpanInvariant {
     * rows); with both tables bucketed/partitioned by doc_id in Iceberg the
     * shuffle is elided entirely. No other shuffle exists in this check.
     */
-  def mismatches(docs: DataFrame, ref: DataFrame): DataFrame = {
-    val joined = docs.join(
-      ref.select(col("doc_id"), col("spans").as("ref_spans")),
-      Seq("doc_id"), "inner")
-    val zipped = arrays_zip(col("spans"), col("ref_spans"))
-    val viols = filter(
+  /** The violations array for one doc given its spans and the reference
+    * spans — reusable from batch and streaming plans alike.
+    */
+  def violationsColumn(spans: Column, refSpans: Column): Column = {
+    val zipped = arrays_zip(spans.as("spans"), refSpans.as("ref_spans"))
+    filter(
       transform(zipped, (p, i) => {
         val a = p.getField("spans")
         val b = p.getField("ref_spans")
@@ -38,8 +38,22 @@ object SpanInvariant {
           lit("#/properties/spans/spanSequence").as("schemaLocation")))
       }),
       v => v.isNotNull)
-    joined.select(col("doc_id"), col("part"), viols.as("violations"))
   }
+
+  /** Annotate each doc with its violations array: doc_id-keyed join with
+    * the reference, one codegen'd projection. Preserves every other input
+    * column (streaming keeps `event_time`).
+    */
+  def annotate(docs: DataFrame, ref: DataFrame): DataFrame =
+    docs.join(
+        ref.select(col("doc_id"), col("spans").as("ref_spans")),
+        Seq("doc_id"), "inner")
+      .withColumn("violations",
+        violationsColumn(col("spans"), col("ref_spans")))
+      .drop("ref_spans")
+
+  def mismatches(docs: DataFrame, ref: DataFrame): DataFrame =
+    annotate(docs, ref).select(col("doc_id"), col("part"), col("violations"))
 
   /** Per-doc verdicts: valid iff zero span mismatches. */
   def verdicts(docs: DataFrame, ref: DataFrame): DataFrame =

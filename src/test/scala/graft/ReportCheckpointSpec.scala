@@ -1,0 +1,98 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.checkpoint.Checkpoint
+import graft.checks.{SpanInvariant, Verdicts}
+import graft.data.Interleaved
+import graft.model.{Doc, Span}
+import graft.report.Reports
+
+class ReportCheckpointSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val clean = Seq(Span("text", "hi", null, 0))
+  private val rows = Seq(
+    Reports.VerdictRow("a.yaml", valid = true, Seq.empty),
+    Reports.VerdictRow("b.yaml", valid = false,
+      Seq(("/spans/0/kind", "type", "integer found, boolean expected"))))
+
+  test("text report mirrors the reference per-doc shape") {
+    val txt = Reports.renderText(rows)
+    assert(txt ===
+      """a.yaml: valid
+        |b.yaml: invalid
+        |  /spans/0/kind: type: integer found, boolean expected
+        |""".stripMargin)
+    assert(Reports.exitCode(rows) === 1)
+    assert(Reports.exitCode(rows.take(1)) === 0)
+  }
+
+  test("junit report counts tests and failures") {
+    val xml = Reports.renderJunit(rows)
+    assert(xml.contains("""tests="2" failures="1""""))
+    assert(xml.contains("""<testcase name="a.yaml"/>"""))
+    assert(xml.contains("integer found, boolean expected"))
+    assert(scala.xml.XML.loadString(xml) != null) // well-formed
+  }
+
+  test("json / sarif / llm reports carry the run verdict and counts") {
+    val json = Reports.renderJson(rows)
+    assert(json.startsWith("""{"valid":false"""))
+    val sarif = Reports.renderSarif(rows)
+    assert(sarif.contains(""""executionSuccessful":false"""))
+    assert(sarif.contains(""""version":"2.1.0""""))
+    val llm = Reports.renderLlm(rows)
+    assert(llm.startsWith("# 1/2 files valid, 1 errors"))
+  }
+
+  test("report gathered from Datasets matches direct rendering") {
+    val documents = Tables.documents(spark, "/root/testdata/sf0.001")
+    val docs = Interleaved.docs(documents)
+    val ref = Interleaved.referenceSpans(documents)
+    val verdicts = SpanInvariant.verdicts(docs, ref)
+    val violations = SpanInvariant.mismatches(docs, ref)
+      .select(col("doc_id"), explode(col("violations")).as("v"))
+      .select(col("doc_id"), col("v.pointer").as("pointer"),
+        col("v.keyword").as("keyword"), col("v.message").as("message"))
+    val gathered = Reports.gather(verdicts, violations)
+    assert(gathered.size === 500)
+    val llm = Reports.renderLlm(gathered)
+    assert(llm.startsWith(s"# ${gathered.count(_.valid)}/500 files valid"))
+    assert(Reports.exitCode(gathered) === 1)
+  }
+
+  test("checkpoint: interrupted run resumes and matches the cold run") {
+    val dir = Files.createTempDirectory("graft-ckpt").toString
+    val documents = Tables.documents(spark, "/root/testdata/sf0.001")
+    val docs = Interleaved.docs(documents)
+    val ref = Interleaved.referenceSpans(documents)
+    val firstHalf = (0 until 10).map(i => s"src$i")
+
+    // "interrupted" run: only half the partitions arrive
+    val r1 = Checkpoint.runIncremental(
+      docs.filter(col("part").isin(firstHalf: _*)), ref, dir, "run1")
+    assert(r1.count() === 10)
+    assert(Checkpoint.processedParts(spark, dir) === firstHalf.toSet)
+
+    // resume with the full table: only the remaining 10 parts process
+    val r2 = Checkpoint.runIncremental(docs, ref, dir, "run2")
+    assert(r2.count() === 10)
+    assert(r2.select("part").as[String].collect()
+      .forall(p => !firstHalf.contains(p)))
+
+    // third run: nothing pending
+    val r3 = Checkpoint.runIncremental(docs, ref, dir, "run3")
+    assert(r3.count() === 0)
+
+    // combined lineage equals the cold run's verdicts
+    val cold = Verdicts.perPartition(SpanInvariant.verdicts(docs, ref))
+      .select("part", "invalid_docs").as[(String, Long)].collect().toMap
+    val lineage = Checkpoint.lineage(spark, dir)
+      .select("part", "invalid_docs").as[(String, Long)].collect().toMap
+    assert(lineage === cold)
+    assert(Checkpoint.lineage(spark, dir).count() === 20)
+  }
+}
