@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.checks.{SpanInvariant, Verdicts}
+
+/** Cluster-size scaling evidence (north rule: throughput scaling
+  * efficiency >= 0.8 between N and 4N executors). In this sandbox the two
+  * cluster sizes are proxied by two local parallelism levels on identical
+  * input: the same flagship validation job at local[8] and local[32].
+  * Prints one JSON line; results are recorded in BENCH.md.
+  */
+object Scaling {
+  def run(cpus: Int, sfDir: String, replicas: Int): (Long, Double) = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val (docsPath, refPath) = BenchData.ensure(spark, sfDir, replicas)
+    val docs = spark.read.parquet(docsPath)
+    val ref = spark.read.parquet(refPath)
+    val n = docs.count()
+    def job(): Unit =
+      Bench.exec(Verdicts.perPartition(SpanInvariant.verdicts(docs, ref)))
+    job() // warm-up (codegen + JIT)
+    val sec = (1 to 3).map(_ => Bench.time(job())).min
+    spark.stop()
+    (n, sec)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val replicas =
+      sys.env.getOrElse("SPARK_GRAFT_REPLICAS", Bench.Replicas.toString).toInt
+    val (nLo, secLo) = run(8, sfDir, replicas)
+    val (_, secHi) = run(32, sfDir, replicas)
+    val thLo = nLo / secLo
+    val thHi = nLo / secHi
+    val eff = (thHi / thLo) / 4.0
+    println(s"""{"metric":"scaling efficiency 8->32 cores",""" +
+      s""""value":${math.rint(eff * 10000) / 10000},"unit":"ratio",""" +
+      s""""docs":$nLo,"sec_n8":$secLo,"sec_n32":$secHi,""" +
+      s""""docs_per_sec_n8":${math.rint(thLo)},""" +
+      s""""docs_per_sec_n32":${math.rint(thHi)},"sf":"$sfDir"}""")
+  }
+}

@@ -43,10 +43,18 @@ object SpanInvariant {
   /** Annotate each doc with its violations array: doc_id-keyed join with
     * the reference, one codegen'd projection. Preserves every other input
     * column (streaming keeps `event_time`).
+    *
+    * The reference side is hinted `shuffle_hash`: it is the same
+    * cardinality as the fact side, so the optimizer's broadcast choice
+    * (driven by pre-explode size estimates) would build a huge broadcast,
+    * and sort-merge pays an unneeded sort. With both tables bucketed by
+    * doc_id in Iceberg the shuffle is elided entirely
+    * (storage-partitioned join).
     */
   def annotate(docs: DataFrame, ref: DataFrame): DataFrame =
     docs.join(
-        ref.select(col("doc_id"), col("spans").as("ref_spans")),
+        ref.select(col("doc_id"), col("spans").as("ref_spans"))
+          .hint("shuffle_hash"),
         Seq("doc_id"), "inner")
       .withColumn("violations",
         violationsColumn(col("spans"), col("ref_spans")))

@@ -64,6 +64,10 @@ object Interleaved {
         col("doc_id").as("idnum"),
         slice(split(col("text"), " "), 1, MaxSpans).as("words"),
         col("source").as("part"))
+      // the source parquet is tiny (often a single split); spread the
+      // span-building projection across all cores — at real scale the
+      // scan has many splits and this is a no-op cost-wise
+      .repartition(documents.sparkSession.sparkContext.defaultParallelism)
       .select(
         concat(lit("d"), col("idnum").cast("string")).as("doc_id"),
         col("idnum"),
@@ -74,6 +78,30 @@ object Interleaved {
 
   /** The table under validation (violations injected). */
   def docs(documents: DataFrame): DataFrame = synth(documents, injected = true)
+
+  /** Bench-scale variant: replicate each source doc `replicas` times
+    * (distinct doc_id per replica, same injection pattern → constant
+    * violation rate). Replication happens before span-building so the
+    * whole synthesis stays one codegen'd projection after the explode.
+    */
+  def docsScaled(documents: DataFrame, replicas: Int,
+      injected: Boolean = true): DataFrame = {
+    documents
+      .select(
+        col("doc_id").as("idnum"),
+        slice(split(col("text"), " "), 1, MaxSpans).as("words"),
+        col("source").as("part"))
+      .repartition(documents.sparkSession.sparkContext.defaultParallelism)
+      .withColumn("rep",
+        explode(sequence(lit(0), lit(replicas - 1))))
+      .select(
+        concat(lit("d"), col("idnum").cast("string"), lit("r"),
+          col("rep").cast("string")).as("doc_id"),
+        col("idnum"),
+        transform(col("words"),
+          (w, i) => spanStruct(col("idnum"), w, i + 1, injected)).as("spans"),
+        col("part"))
+  }
 
   /** Per-row invariant oracle: the clean span sequences. */
   def referenceSpans(documents: DataFrame): DataFrame =

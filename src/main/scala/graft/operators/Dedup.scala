@@ -42,15 +42,28 @@ object Dedup {
       .filter(col("cnt") > 1)
       .orderBy(col("fingerprint"))
 
-  /** Word 3-gram shingles, distinct per document. */
-  def shingles(text: Column): Column = {
-    val w = split(text, " ")
+  /** Word 3-gram shingles, distinct per document, from a MATERIALIZED
+    * words array. Passing `split(text)` in directly is a trap: the HOF
+    * path does no common-subexpression elimination, so the split would
+    * re-run for every element_at — stage the words behind an exchange
+    * (see [[corpusWords]]) so it evaluates once per row.
+    */
+  def shinglesOf(w: Column): Column = {
     val n = size(w)
     array_distinct(when(n >= 3,
       transform(sequence(lit(1), n - 2), i => concat_ws(" ",
         element_at(w, i), element_at(w, i + 1), element_at(w, i + 2))))
-      .otherwise(array()))
+      .otherwise(array().cast("array<string>")))
   }
+
+  /** Corpus with the words array materialized behind a repartition
+    * exchange: parallelizes the shingle/signature projections across all
+    * cores and guarantees split() runs once per row.
+    */
+  def corpusWords(s: SparkSession, dir: String): DataFrame =
+    corpus(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .repartition(s.sparkContext.defaultParallelism)
 
   /** Exact n-gram Jaccard near-dup pairs (threshold 0.6): explode distinct
     * shingles, self-join on shingle, |A∩B| per pair, Jaccard from set
@@ -58,8 +71,8 @@ object Dedup {
     */
   def jaccardPairs(s: SparkSession, dir: String,
       threshold: Double = 0.6): DataFrame = {
-    val sh = corpus(s, dir)
-      .select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
+    val sh = corpusWords(s, dir)
+      .select(col("doc_id"), explode(shinglesOf(col("w"))).as("sh"))
     val sizes = sh.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("sz"))
     val shared = sh.as("a")
@@ -89,12 +102,10 @@ object Dedup {
     * per seed — computed in one projection over the shingle array (no
     * explode, no shuffle).
     */
-  def minhashSignature(text: Column): Column = {
-    val sh = shingles(text)
+  def minhashSignature(sh: Column): Column =
     array((0 until NumHashes).map { seed =>
       array_min(transform(sh, x => xxhash64(lit(seed), x)))
     }: _*)
-  }
 
   /** LSH candidate pairs: band the signature, shuffle on (band, hash of
     * band rows), pair up within buckets, then verify with exact Jaccard.
@@ -103,39 +114,50 @@ object Dedup {
     */
   def minhashCandidates(s: SparkSession, dir: String,
       threshold: Double = 0.6): DataFrame = {
-    val docs = corpus(s, dir)
-      .select(col("doc_id"), col("text"),
-        minhashSignature(col("text")).as("sig"))
+    // materialize signatures once: the signature projection (16 minhashes
+    // over ~100 shingles/doc) must not be recomputed on both sides of the
+    // self-join — persist() is the in-session stand-in for the signature
+    // table a production pipeline writes out.
+    val docs = corpusWords(s, dir)
+      .select(col("doc_id"), shinglesOf(col("w")).as("sh"))
+      .repartition(s.sparkContext.defaultParallelism) // materialize shingles
+      .select(col("doc_id"), minhashSignature(col("sh")).as("sig"))
     val bandHashes = array((0 until NumHashes / BandSize).map { b =>
       xxhash64((lit(b) +: (0 until BandSize).map(j =>
         element_at(col("sig"), b * BandSize + j + 1))): _*)
     }: _*)
-    val bands = docs.select(col("doc_id"), col("text"),
-      posexplode(bandHashes).as(Seq("band", "bh")))
+    val bands = docs
+      .select(col("doc_id"), posexplode(bandHashes).as(Seq("band", "bh")))
+      .persist()
+    // candidate ids from bucket collisions — ids only, no text shuffled
     val cand = bands.as("a")
       .join(bands.as("b"), col("a.band") === col("b.band") &&
         col("a.bh") === col("b.bh") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        col("a.text").as("text_a"), col("b.text").as("text_b"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
-    // exact verify on candidates only
-    cand
-      .withColumn("inter", size(array_intersect(
-        shingles(col("text_a")), shingles(col("text_b")))))
-      .withColumn("uni", size(array_union(
-        shingles(col("text_a")), shingles(col("text_b")))))
-      .withColumn("jaccard", round(col("inter") / col("uni"), 4))
+    // exact verify on candidates only: re-attach shingle sets by id
+    val sh = corpusWords(s, dir)
+      .select(col("doc_id"), shinglesOf(col("w")).as("sh"))
+    val verified = cand
+      .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")),
+        Seq("id_a"))
+      .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")),
+        Seq("id_b"))
+      .withColumn("jaccard", round(
+        size(array_intersect(col("sh_a"), col("sh_b"))) /
+          size(array_union(col("sh_a"), col("sh_b"))), 4))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
       .orderBy(col("id_a"), col("id_b"))
+    verified
   }
 
   /** 32-bit SimHash vote vector from xxhash64 token hashes: one
     * aggregate() fold per document, accumulator = 32 per-bit majority
     * votes (bit positions unrolled statically — codegen-friendly).
     */
-  def simhashVotes(text: Column): Column = {
-    val tokens = array_distinct(split(text, " "))
+  def simhashVotes(w: Column): Column = {
+    val tokens = array_distinct(w)
     val hashes = transform(tokens, t => xxhash64(t))
     aggregate(hashes,
       array_repeat(lit(0), 32),
@@ -157,8 +179,9 @@ object Dedup {
     */
   def simhashPairs(s: SparkSession, dir: String, maxDist: Int = 6)
       : DataFrame = {
-    val docs = corpus(s, dir)
-      .select(col("doc_id"), simhashVotes(col("text")).as("votes"))
+    val docs = corpusWords(s, dir)
+      .select(col("doc_id"), simhashVotes(col("w")).as("votes"))
+      .repartition(s.sparkContext.defaultParallelism) // materialize votes
       .select(col("doc_id"), simhashFromVotes(col("votes")).as("sh"))
     val blocks = docs.select(col("doc_id"), col("sh"),
       posexplode(array(col("sh").bitwiseAND(0xFFFF),
