@@ -476,6 +476,19 @@ object Oracles {
       |  CAST(SUM(nv) AS BIGINT) AS violations
       |FROM v""".stripMargin
 
+  val quantiles: String =
+    """SELECT event_type,
+      |  ROUND(quantile_cont(value, 0.5), 4) AS p50,
+      |  ROUND(quantile_cont(value, 0.95), 4) AS p95,
+      |  ROUND(quantile_cont(value, 0.99), 4) AS p99
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  val saltedAgg: String = spanCtes +
+    """
+      |SELECT media_ref, CAST(COUNT(*) AS BIGINT) AS cnt
+      |FROM spans WHERE media_ref IS NOT NULL
+      |GROUP BY media_ref ORDER BY media_ref""".stripMargin
+
   val q1Agg: String =
     """SELECT l_returnflag, l_linestatus,
       |  ROUND(SUM(l_quantity), 4) AS sum_qty,

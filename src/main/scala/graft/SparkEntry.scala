@@ -127,6 +127,21 @@ object SparkEntry {
       Verdicts.summary(SpanInvariant.verdicts(
         Interleaved.docs(documents), Interleaved.referenceSpans(documents)))
     }),
+    "v_quantiles" -> ((s, dir) => {
+      Tables.events(s, dir).groupBy(col("event_type")).agg(
+          round(expr("percentile(value, 0.5)"), 4).as("p50"),
+          round(expr("percentile(value, 0.95)"), 4).as("p95"),
+          round(expr("percentile(value, 0.99)"), 4).as("p99"))
+        .orderBy(col("event_type"))
+    }),
+    "q15_salted_agg" -> ((s, dir) => {
+      val refs = Interleaved.docs(Tables.documents(s, dir))
+        .select(explode(col("spans")).as("sp"))
+        .select(col("sp.media_ref").as("media_ref"))
+        .filter(col("media_ref").isNotNull)
+      graft.operators.Skew.saltedCount(refs, "media_ref", 8)
+        .orderBy(col("media_ref"))
+    }),
     "v_column_stats" -> ((s, dir) => {
       Stats.columnStats(Tables.documents(s, dir),
           Seq("doc_id", "lang", "source", "n_chars"), exact = true)
@@ -166,6 +181,8 @@ object SparkEntry {
     "v_routing_default" -> Oracles.routingDefault,
     "v_routing_none" -> Oracles.routingNone,
     "v_summary" -> Oracles.summary,
+    "v_quantiles" -> Oracles.quantiles,
+    "q15_salted_agg" -> Oracles.saltedAgg,
     "v_span_verdicts" -> Oracles.spanVerdicts,
     "v_span_violations" -> Oracles.spanViolations,
     "v_rule_violations" -> Oracles.ruleViolations,

@@ -1,0 +1,151 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{NumStatsAgg, TDigestQuantile}
+import graft.operators.Skew
+import graft.rules._
+
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("NumStats typed Aggregator: one-pass count/nulls/min/max/mean/var") {
+    val data: Seq[java.lang.Double] =
+      Seq[java.lang.Double](1.0, 2.0, null, 5.0, 4.0)
+    val numStats = udaf(new NumStatsAgg)
+    val stats = data.toDS().select(numStats(col("value")).as("s"))
+      .select("s.*").as[graft.functions.NumStats].head()
+    assert(stats.count === 5)
+    assert(stats.nulls === 1)
+    assert(stats.nullRate === 0.2)
+    assert(stats.min === 1.0 && stats.max === 5.0)
+    assert(math.abs(stats.mean - 3.0) < 1e-12)
+    assert(math.abs(stats.variance - 10.0 / 3.0) < 1e-12) // sample var
+  }
+
+  test("NumStats merge across partitions equals single-partition result") {
+    val vals = (1 to 10000).map(i => (i % 997).toDouble)
+    val numStats = udaf(new NumStatsAgg)
+    val one = vals.toDS().coalesce(1)
+      .select(numStats(col("value").cast("double")).as("s"))
+      .select("s.*").as[graft.functions.NumStats].head()
+    val many = vals.toDS().repartition(13)
+      .select(numStats(col("value").cast("double")).as("s"))
+      .select("s.*").as[graft.functions.NumStats].head()
+    assert(one.count === many.count && one.nulls === many.nulls)
+    assert(math.abs(one.mean - many.mean) < 1e-9)
+    assert(math.abs(one.variance - many.variance) < 1e-6)
+  }
+
+  test("t-digest quantiles within tolerance of exact percentiles") {
+    // deterministic skewed-ish distribution
+    val vals = (0 until 100000).map(i => (i.toLong * i % 100003).toDouble)
+    val df = vals.toDF("v").repartition(16)
+    val row = df.agg(
+      TDigestQuantile.tdigestQuantile(col("v"), 0.5).as("p50"),
+      TDigestQuantile.tdigestQuantile(col("v"), 0.95).as("p95"),
+      TDigestQuantile.tdigestQuantile(col("v"), 0.99).as("p99"),
+      expr("percentile(v, 0.5)").as("e50"),
+      expr("percentile(v, 0.95)").as("e95"),
+      expr("percentile(v, 0.99)").as("e99")).head()
+    val sorted = vals.sorted
+    def rankError(est: Double, q: Double): Double = {
+      val rank = sorted.search(est) match {
+        case scala.collection.Searching.Found(i) => i
+        case scala.collection.Searching.InsertionPoint(i) => i
+      }
+      math.abs(rank.toDouble / sorted.length - q)
+    }
+    assert(rankError(row.getDouble(0), 0.5) < 0.02)
+    assert(rankError(row.getDouble(1), 0.95) < 0.02)
+    assert(rankError(row.getDouble(2), 0.99) < 0.02)
+  }
+
+  test("salted aggregation equals plain aggregation on skewed keys") {
+    // hot key: 30% of rows share one media_ref
+    val rows = (1 to 20000).map { i =>
+      if (i % 10 < 3) "mHOT" else s"m${i % 50}"
+    }
+    val df = rows.toDF("media_ref")
+    val plain = df.groupBy("media_ref").count()
+      .as[(String, Long)].collect().toMap
+    val salted = Skew.saltedCount(df, "media_ref", 8)
+      .as[(String, Long)].collect().toMap
+    assert(salted === plain)
+  }
+
+  test("salted join equals plain join on skewed keys") {
+    val facts = (1 to 5000).map { i =>
+      (if (i % 10 < 3) "mHOT" else s"m${i % 50}", i.toLong)
+    }.toDF("media_ref", "v")
+    val dim = (Seq("mHOT") ++ (0 until 50).map(i => s"m$i"))
+      .map(r => (r, s"kind-$r")).toDF("media_ref", "kind")
+    val plain = facts.join(dim, Seq("media_ref"))
+      .agg(count(lit(1)), sum(col("v"))).as[(Long, Long)].head()
+    val salted = Skew.saltedJoin(facts, dim, "media_ref", 8)
+      .agg(count(lit(1)), sum(col("v"))).as[(Long, Long)].head()
+    assert(salted === plain)
+  }
+
+  test("oneOf / not / contains / minItems / additionalProperties keywords") {
+    // oneOf: span must be text-with-text or image-with-ref, exactly one
+    val oneOf = OneOfRule("kind", Seq(
+      sp => sp.getField("kind") === "text" && sp.getField("text").isNotNull,
+      sp => sp.getField("kind") === "image" &&
+        sp.getField("media_ref").isNotNull))
+    val spans = Seq(
+      graft.model.Span("text", "ok", null, 0),    // exactly one → ok
+      graft.model.Span("image", null, null, 1))   // zero branches → violated
+    val df = spark.createDataFrame(Seq(graft.model.Doc("d", spans, "p")))
+    val v1 = df.select(explode(RuleCompiler.violations(col("spans"),
+        Seq(oneOf))).as("v"))
+      .select($"v.pointer", $"v.keyword").as[(String, String)].collect()
+    assert(v1.toSeq === Seq(("/spans/1/kind", "oneOf")))
+
+    // not: offset must NOT be 0 → first span violates
+    val notRule = NotRule(RangeRule("offset", None, Some(0)))
+    val v2 = df.select(explode(RuleCompiler.violations(col("spans"),
+        Seq(notRule))).as("v"))
+      .select($"v.pointer").as[String].collect()
+    assert(v2.toSeq === Seq("/spans/0/offset"))
+
+    // contains: must contain an audio span → violated
+    val c = df.select(DocRules.containsViolation(col("spans"),
+      sp => sp.getField("kind") === "audio", "kind == audio").as("v"))
+      .select($"v.keyword").as[String].collect()
+    assert(c.toSeq === Seq("contains"))
+
+    // minItems
+    val sz = df.select(DocRules.sizeViolation(col("spans"), 3, 10).as("v"))
+      .select($"v.keyword").as[String].collect()
+    assert(sz.toSeq === Seq("minItems"))
+
+    // additionalProperties over a map column
+    val m = Seq(Map("good_key" -> "1", "bad key!" -> "2")).toDF("props")
+    val ap = m.select(DocRules.additionalPropertiesViolation(col("props"),
+      "^[a-z_]+$").as("v")).select($"v.keyword", $"v.message")
+      .as[(String, String)].collect()
+    assert(ap.length === 1 && ap.head._1 === "additionalProperties")
+    assert(ap.head._2 === "property bad key! is not allowed")
+  }
+
+  test("registry binds rulesets and mirrors reference error messages") {
+    val resolved = Seq(
+      ("d1", "https://example.org/schemas/kubernetes.json", null),
+      ("d2", "https://example.org/schemas/unknown.json", null),
+      ("d3", "file:///schemas/missing.yaml", null),
+      ("d4", null, "No schema found in YAML file or provided as parameter"))
+      .toDF("doc_id", "schema_url", "error")
+    val m = Registry.bind(resolved)
+      .select("doc_id", "ruleset", "error")
+      .collect().map(r => r.getString(0) -> (r.getString(1), r.getString(2)))
+      .toMap
+    assert(m("d1") === ("rs-k8s", null))
+    assert(m("d2") ===
+      (null, "HTTP request failed with status code 404"))
+    assert(m("d3") ===
+      (null, "NoSuchFileException: file:///schemas/missing.yaml"))
+    assert(m("d4") ===
+      (null, "No schema found in YAML file or provided as parameter"))
+  }
+}
