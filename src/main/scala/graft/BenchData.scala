@@ -7,15 +7,24 @@ import org.apache.spark.sql.SparkSession
 import graft.data.Interleaved
 
 /** Materializes the scaled interleaved-docs table (and its clean
-  * reference) to parquet once, so throughput measurements time the
-  * validation job reading from storage — the north-rule metric is
-  * constraint-eval throughput, not synthetic-data generation speed.
+  * reference) once, so throughput measurements time the validation job
+  * reading from storage — the north-rule metric is constraint-eval
+  * throughput, not synthetic-data generation speed.
+  *
+  * Two layouts:
+  *  - plain parquet (generic path), and
+  *  - BUCKETED tables (bucketBy(32, doc_id) sorted within buckets) — the
+  *    local stand-in for Iceberg bucket partitioning: the doc_id equi-join
+  *    between docs and reference then needs NO exchange and NO sort
+  *    (storage-partitioned join), which is the shape that scales linearly
+  *    on a real cluster.
   */
 object BenchData {
+  val Buckets = 32
+
   def ensure(spark: SparkSession, sfDir: String, replicas: Int)
       : (String, String) = {
-    val tag = sfDir.replaceAll("[^a-zA-Z0-9.]", "_")
-    val base = s"/tmp/graft_bench/${tag}_x$replicas"
+    val base = dir(sfDir, replicas)
     val docsPath = s"$base/docs"
     val refPath = s"$base/ref"
     if (!Files.exists(Paths.get(s"$base/_done"))) {
@@ -28,5 +37,55 @@ object BenchData {
       Files.write(Paths.get(s"$base/_done"), Array.emptyByteArray)
     }
     (docsPath, refPath)
+  }
+
+  private def dir(sfDir: String, replicas: Int): String = {
+    val tag = sfDir.replaceAll("[^a-zA-Z0-9.]", "_")
+    s"/tmp/graft_bench/${tag}_x$replicas"
+  }
+
+  private def tag(sfDir: String, replicas: Int): String =
+    (sfDir.replaceAll("[^a-zA-Z0-9]", "_") + "_x" + replicas).toLowerCase
+
+  /** Bucketed variant: returns (docsTable, refTable) catalog names.
+    * Files are written once via bucketBy().saveAsTable(); later sessions
+    * (bucket metadata lives in the session's in-memory catalog) re-attach
+    * the existing files with an external CREATE TABLE carrying the same
+    * bucket spec.
+    */
+  def ensureBucketed(spark: SparkSession, sfDir: String, replicas: Int)
+      : (String, String) = {
+    val base = dir(sfDir, replicas) + "_bucketed"
+    val t = tag(sfDir, replicas)
+    val names = Seq("docs", "ref").map(side => side -> s"graft_${side}_$t")
+    names.foreach { case (side, tbl) =>
+      if (!spark.catalog.tableExists(tbl)) {
+        val path = s"$base/$side"
+        if (Files.exists(Paths.get(s"$base/_done_$side"))) {
+          spark.sql(
+            s"""CREATE TABLE $tbl (
+               |  doc_id STRING, idnum BIGINT,
+               |  spans ARRAY<STRUCT<kind: STRING, text: STRING,
+               |    media_ref: STRING, offset: INT>>,
+               |  part STRING)
+               |USING PARQUET
+               |CLUSTERED BY (doc_id) SORTED BY (doc_id)
+               |INTO $Buckets BUCKETS
+               |LOCATION '$path'""".stripMargin)
+        } else {
+          val documents = Tables.documents(spark, sfDir)
+          Interleaved.docsScaled(documents, replicas,
+              injected = side == "docs")
+            .write.mode("overwrite")
+            .bucketBy(Buckets, "doc_id").sortBy("doc_id")
+            .option("path", path)
+            .saveAsTable(tbl)
+          Files.createDirectories(Paths.get(base))
+          Files.write(Paths.get(s"$base/_done_$side"),
+            Array.emptyByteArray)
+        }
+      }
+    }
+    (names.head._2, names.last._2)
   }
 }

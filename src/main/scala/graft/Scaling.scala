@@ -20,9 +20,9 @@ object Scaling {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val (docsPath, refPath) = BenchData.ensure(spark, sfDir, replicas)
-    val docs = spark.read.parquet(docsPath)
-    val ref = spark.read.parquet(refPath)
+    val (docsTbl, refTbl) = BenchData.ensureBucketed(spark, sfDir, replicas)
+    val docs = spark.table(docsTbl)
+    val ref = spark.table(refTbl)
     val n = docs.count()
     def job(): Unit =
       Bench.exec(Verdicts.perPartition(SpanInvariant.verdicts(docs, ref)))

@@ -129,6 +129,36 @@ class FunctionsSpec extends SparkSpec {
     assert(ap.head._2 === "property bad key! is not allowed")
   }
 
+  test("custom SpanMismatchIndices expression ≡ HOF violations column") {
+    val documents = Tables.documents(spark, "/root/testdata/sf0.001")
+    val docs = graft.data.Interleaved.docs(documents)
+    val ref = graft.data.Interleaved.referenceSpans(documents)
+      .select(col("doc_id"), col("spans").as("ref_spans"))
+    val joined = docs.join(ref, Seq("doc_id"))
+    val both = joined.select(
+      col("doc_id"),
+      graft.checks.SpanInvariant
+        .violationsColumn(col("spans"), col("ref_spans")).as("hof"),
+      graft.checks.SpanInvariant
+        .violationsColumnFast(col("spans"), col("ref_spans")).as("fast"))
+    assert(both.filter(col("hof") =!= col("fast")).count() === 0)
+    assert(both.filter(size(col("fast")) > 0).count() > 0)
+    // length-mismatch and null-safety edge cases
+    val a = Seq(graft.model.Doc("x",
+      Seq(graft.model.Span("text", null, null, 0)), "p"))
+    val b = Seq(graft.model.Doc("x",
+      Seq(graft.model.Span("text", null, null, 0),
+        graft.model.Span("image", null, "m1", 1)), "p"))
+    val j2 = spark.createDataFrame(a).join(
+      spark.createDataFrame(b)
+        .select(col("doc_id"), col("spans").as("ref_spans")), Seq("doc_id"))
+    val r2 = j2.select(
+      graft.checks.SpanInvariant
+        .violationsColumnFast(col("spans"), col("ref_spans")).as("v"))
+      .select(size(col("v"))).head().getInt(0)
+    assert(r2 === 1) // only the missing trailing span mismatches
+  }
+
   test("registry binds rulesets and mirrors reference error messages") {
     val resolved = Seq(
       ("d1", "https://example.org/schemas/kubernetes.json", null),
