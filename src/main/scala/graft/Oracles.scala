@@ -489,6 +489,23 @@ object Oracles {
       |FROM spans WHERE media_ref IS NOT NULL
       |GROUP BY media_ref ORDER BY media_ref""".stripMargin
 
+  val multiDoc: String =
+    """WITH src AS (
+      |  SELECT 'f'||CAST(doc_id AS VARCHAR)||'.yaml' AS path,
+      |    string_split(text, ' stream ') AS parts
+      |  FROM documents),
+      |ex AS (
+      |  SELECT path, len(parts) AS n,
+      |    unnest(generate_series(1, len(parts))) AS doc_index,
+      |    unnest(parts) AS doc_text
+      |  FROM src)
+      |SELECT path,
+      |  CASE WHEN n = 1 THEN path
+      |       ELSE path||'-'||CAST(doc_index AS VARCHAR) END AS doc_key,
+      |  CAST(doc_index AS INTEGER) AS doc_index,
+      |  CAST(length(doc_text) AS INTEGER) AS doc_len
+      |FROM ex ORDER BY path, doc_index""".stripMargin
+
   val q1Agg: String =
     """SELECT l_returnflag, l_linestatus,
       |  ROUND(SUM(l_quantity), 4) AS sum_qty,

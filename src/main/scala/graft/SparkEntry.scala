@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.data.Interleaved
-import graft.operators.{Dedup, Multimodal, Relational, Similarity, TextOps}
+import graft.operators.{Dedup, MultiDoc, Multimodal, Relational, Similarity, TextOps}
 import graft.checks.{Drift, Referential, SpanInvariant, Stats, Uniqueness, Verdicts}
 import graft.rules.{Catalog, RuleCompiler}
 
@@ -53,6 +53,7 @@ object SparkEntry {
     "q12_hof_spans" -> (Relational.hofSpans _),
     "q13_events_hourly" -> (Relational.eventsHourly _),
     "q14_parse_json" -> (Relational.parseJsonProps _),
+    "q16_multidoc" -> (MultiDoc.multiDocQuery _),
 
     // ---- training-data pipeline ops ---------------------------------------
     "d_dedup_exact" -> (Dedup.exactDuplicates _),
@@ -183,6 +184,7 @@ object SparkEntry {
     "v_summary" -> Oracles.summary,
     "v_quantiles" -> Oracles.quantiles,
     "q15_salted_agg" -> Oracles.saltedAgg,
+    "q16_multidoc" -> Oracles.multiDoc,
     "v_span_verdicts" -> Oracles.spanVerdicts,
     "v_span_violations" -> Oracles.spanViolations,
     "v_rule_violations" -> Oracles.ruleViolations,

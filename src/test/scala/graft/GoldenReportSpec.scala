@@ -1,0 +1,70 @@
+package graft
+
+import graft.report.Reports
+import graft.report.Reports.VerdictRow
+
+/** Golden-string report tests mirroring the reference's golden-file
+  * strategy (YamlSchemaValidatorRunnerTest.java:200-236): render the
+  * multi3invalid-shaped fixture ([T,F,T] vector, FIXTURES.md) in every
+  * format and diff against pinned expected output.
+  */
+class GoldenReportSpec extends SparkSpec {
+
+  // multi3invalid re-expression: doc 2 lacks a resolvable schema
+  private val rows = Seq(
+    VerdictRow("multi3invalid.yaml-1", valid = true, Seq.empty),
+    VerdictRow("multi3invalid.yaml-2", valid = false,
+      Seq(("/", "error",
+        "No schema found in YAML file or provided as parameter"))),
+    VerdictRow("multi3invalid.yaml-3", valid = true, Seq.empty))
+
+  test("TEXT golden") {
+    assert(Reports.renderText(rows) ===
+      """multi3invalid.yaml-1: valid
+        |multi3invalid.yaml-2: invalid
+        |  /: error: No schema found in YAML file or provided as parameter
+        |multi3invalid.yaml-3: valid
+        |""".stripMargin)
+  }
+
+  test("JSON golden") {
+    assert(Reports.renderJson(rows) ===
+      """{"valid":false,"documents":[""" +
+        """{"doc":"multi3invalid.yaml-1","valid":true,"details":[]},""" +
+        """{"doc":"multi3invalid.yaml-2","valid":false,"details":[""" +
+        """{"instanceLocation":"/","valid":false,"errors":{"error":""" +
+        """"No schema found in YAML file or provided as parameter"}}]},""" +
+        """{"doc":"multi3invalid.yaml-3","valid":true,"details":[]}]}""")
+  }
+
+  test("JUnit golden") {
+    val expected =
+      """<?xml version="1.0" encoding="UTF-8"?>
+        |<testsuite name="validation" tests="3" failures="1">
+        |  <testcase name="multi3invalid.yaml-1"/>
+        |  <testcase name="multi3invalid.yaml-2">
+        |    <failure message="/: error: No schema found in YAML file or provided as parameter"/>
+        |  </testcase>
+        |  <testcase name="multi3invalid.yaml-3"/>
+        |</testsuite>""".stripMargin
+    assert(Reports.renderJunit(rows) === expected)
+  }
+
+  test("LLM golden") {
+    assert(Reports.renderLlm(rows) ===
+      """# 2/3 files valid, 1 errors
+        |multi3invalid.yaml-2 / error: No schema found in YAML file or provided as parameter""".stripMargin)
+  }
+
+  test("SARIF carries verdict, version and one result") {
+    val sarif = Reports.renderSarif(rows)
+    assert(sarif.contains(""""executionSuccessful":false"""))
+    assert(sarif.contains(""""ruleId":"error""""))
+    assert(sarif.contains("multi3invalid.yaml-2"))
+  }
+
+  test("exit codes: [T,F,T] → 1, [T,T,T] → 0 (reference K3)") {
+    assert(Reports.exitCode(rows) === 1)
+    assert(Reports.exitCode(rows.filter(_.valid)) === 0)
+  }
+}
