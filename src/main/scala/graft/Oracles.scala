@@ -506,6 +506,13 @@ object Oracles {
       |  CAST(length(doc_text) AS INTEGER) AS doc_len
       |FROM ex ORDER BY path, doc_index""".stripMargin
 
+  val jsonSchema: String =
+    """SELECT event_id, '/k' AS pointer, 'maximum' AS keyword,
+      |  'must have a maximum value of 80' AS message,
+      |  '#/properties/k/maximum' AS schemaLocation
+      |FROM events WHERE CAST(props->>'k' AS INTEGER) > 80
+      |ORDER BY event_id, pointer""".stripMargin
+
   val q1Agg: String =
     """SELECT l_returnflag, l_linestatus,
       |  ROUND(SUM(l_quantity), 4) AS sum_qty,

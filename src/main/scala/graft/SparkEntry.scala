@@ -143,6 +143,20 @@ object SparkEntry {
       graft.operators.Skew.saltedCount(refs, "media_ref", 8)
         .orderBy(col("media_ref"))
     }),
+    "v_json_schema" -> ((s, dir) => {
+      // JSON-Schema compiled once on the driver, executed over VARIANT
+      val compiled = graft.rules.JsonSchemaCompiler.compile(
+        """{"type":"object","required":["k"],
+          |"properties":{"k":{"type":"integer","minimum":0,
+          |"maximum":80}}}""".stripMargin.replace("\n", ""))
+      Tables.events(s, dir)
+        .select(col("event_id"),
+          explode(compiled.violations(parse_json(col("props")))).as("x"))
+        .select(col("event_id"), col("x.pointer").as("pointer"),
+          col("x.keyword").as("keyword"), col("x.message").as("message"),
+          col("x.schemaLocation").as("schemaLocation"))
+        .orderBy(col("event_id"), col("pointer"))
+    }),
     "v_column_stats" -> ((s, dir) => {
       Stats.columnStats(Tables.documents(s, dir),
           Seq("doc_id", "lang", "source", "n_chars"), exact = true)
@@ -185,6 +199,7 @@ object SparkEntry {
     "v_quantiles" -> Oracles.quantiles,
     "q15_salted_agg" -> Oracles.saltedAgg,
     "q16_multidoc" -> Oracles.multiDoc,
+    "v_json_schema" -> Oracles.jsonSchema,
     "v_span_verdicts" -> Oracles.spanVerdicts,
     "v_span_violations" -> Oracles.spanViolations,
     "v_rule_violations" -> Oracles.ruleViolations,
