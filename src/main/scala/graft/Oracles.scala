@@ -506,6 +506,34 @@ object Oracles {
       |  CAST(length(doc_text) AS INTEGER) AS doc_len
       |FROM ex ORDER BY path, doc_index""".stripMargin
 
+  val snapshotDiff: String = spanCtes +
+    """
+      |, rv AS (
+      |  SELECT doc_id, idnum, '/spans/'||CAST(i-1 AS VARCHAR)||'/offset'
+      |      AS pointer, 'maximum' AS keyword
+      |  FROM spans WHERE "offset" IS NOT NULL AND "offset" > 7
+      |  UNION ALL
+      |  SELECT doc_id, idnum, '/spans/'||CAST(i-1 AS VARCHAR)||'/kind',
+      |    'enum' FROM spans
+      |  WHERE kind IS NOT NULL AND kind NOT IN ('text','image','audio')
+      |  UNION ALL
+      |  SELECT doc_id, idnum, '/spans/'||CAST(i-1 AS VARCHAR)||'/media_ref',
+      |    'required' FROM spans WHERE kind = 'image' AND media_ref IS NULL
+      |  UNION ALL
+      |  SELECT doc_id, idnum, '/spans/'||CAST(i-1 AS VARCHAR)||'/media_ref',
+      |    'pattern' FROM spans
+      |  WHERE media_ref IS NOT NULL
+      |    AND NOT regexp_matches(media_ref, '^m[0-9]+$')
+      |  UNION ALL
+      |  SELECT doc_id, idnum, '/spans/'||CAST(i-1 AS VARCHAR)||'/offset',
+      |    'minimum' FROM spans WHERE "offset" IS NOT NULL AND "offset" < 0
+      |)
+      |SELECT doc_id, pointer, keyword FROM (
+      |  SELECT doc_id, pointer, keyword FROM rv
+      |  EXCEPT ALL
+      |  SELECT doc_id, pointer, keyword FROM rv WHERE idnum%97 <> 3)
+      |ORDER BY doc_id, pointer, keyword""".stripMargin
+
   val jsonSchema: String =
     """SELECT event_id, '/k' AS pointer, 'maximum' AS keyword,
       |  'must have a maximum value of 80' AS message,

@@ -143,6 +143,19 @@ object SparkEntry {
       graft.operators.Skew.saltedCount(refs, "media_ref", 8)
         .orderBy(col("media_ref"))
     }),
+    "v_snapshot_diff" -> ((s, dir) => {
+      // violation-set diff between two snapshots (SURVEY §2.6 exceptAll):
+      // current snapshot vs one where the offset-corruption class is fixed
+      def viols(d: DataFrame) = d.select(col("doc_id"),
+          explode(RuleCompiler.violations(col("spans"),
+            RuleCompiler.docRules)).as("v"))
+        .select(col("doc_id"), col("v.pointer").as("pointer"),
+          col("v.keyword").as("keyword"))
+      val docs = Interleaved.docs(Tables.documents(s, dir))
+      val prev = docs.filter(col("idnum") % 97 =!= 3)
+      viols(docs).exceptAll(viols(prev))
+        .orderBy(col("doc_id"), col("pointer"), col("keyword"))
+    }),
     "v_json_schema" -> ((s, dir) => {
       // JSON-Schema compiled once on the driver, executed over VARIANT
       val compiled = graft.rules.JsonSchemaCompiler.compile(
@@ -200,6 +213,7 @@ object SparkEntry {
     "q15_salted_agg" -> Oracles.saltedAgg,
     "q16_multidoc" -> Oracles.multiDoc,
     "v_json_schema" -> Oracles.jsonSchema,
+    "v_snapshot_diff" -> Oracles.snapshotDiff,
     "v_span_verdicts" -> Oracles.spanVerdicts,
     "v_span_violations" -> Oracles.spanViolations,
     "v_rule_violations" -> Oracles.ruleViolations,
