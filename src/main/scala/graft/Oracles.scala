@@ -534,6 +534,28 @@ object Oracles {
       |  SELECT doc_id, pointer, keyword FROM rv WHERE idnum%97 <> 3)
       |ORDER BY doc_id, pointer, keyword""".stripMargin
 
+  val cubeAgg: String =
+    """SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+      |  ROUND(SUM(o_totalprice), 4) AS total,
+      |  CAST(GROUPING(o_orderstatus)*2 + GROUPING(o_orderpriority)
+      |    AS INTEGER) AS gid
+      |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"""
+      .stripMargin
+
+  val sqlExists: String =
+    """SELECT c_custkey, c_mktsegment FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000)
+      |ORDER BY c_custkey""".stripMargin
+
+  val unionDistinct: String =
+    """SELECT DISTINCT o_custkey FROM (
+      |  SELECT o_custkey FROM orders WHERE o_totalprice > 450000
+      |  UNION ALL
+      |  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+      |ORDER BY o_custkey""".stripMargin
+
   val jsonSchema: String =
     """SELECT event_id, '/k' AS pointer, 'maximum' AS keyword,
       |  'must have a maximum value of 80' AS message,

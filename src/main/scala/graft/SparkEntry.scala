@@ -54,6 +54,9 @@ object SparkEntry {
     "q13_events_hourly" -> (Relational.eventsHourly _),
     "q14_parse_json" -> (Relational.parseJsonProps _),
     "q16_multidoc" -> (MultiDoc.multiDocQuery _),
+    "q17_cube" -> (Relational.cubeAgg _),
+    "q18_sql_exists" -> (Relational.sqlExists _),
+    "q19_union_distinct" -> (Relational.unionDistinct _),
 
     // ---- training-data pipeline ops ---------------------------------------
     "d_dedup_exact" -> (Dedup.exactDuplicates _),
@@ -212,6 +215,9 @@ object SparkEntry {
     "v_quantiles" -> Oracles.quantiles,
     "q15_salted_agg" -> Oracles.saltedAgg,
     "q16_multidoc" -> Oracles.multiDoc,
+    "q17_cube" -> Oracles.cubeAgg,
+    "q18_sql_exists" -> Oracles.sqlExists,
+    "q19_union_distinct" -> Oracles.unionDistinct,
     "v_json_schema" -> Oracles.jsonSchema,
     "v_snapshot_diff" -> Oracles.snapshotDiff,
     "v_span_verdicts" -> Oracles.spanVerdicts,

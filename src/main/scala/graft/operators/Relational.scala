@@ -148,6 +148,44 @@ object Relational {
       .orderBy(col("doc_id"))
   }
 
+  /** CUBE — all grouping-set combinations with grouping_id for
+    * disambiguation (SURVEY §2.5 grouping-sets row).
+    */
+  def cubeAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 4).as("total"),
+        grouping_id().cast("int").as("gid"))
+      .orderBy(col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+
+  /** SQL entry point with a correlated EXISTS subquery — the spark.sql
+    * surface over registered temp views (the reference's library-entry
+    * analogue, §3.2).
+    */
+  def sqlExists(s: SparkSession, dir: String): DataFrame = {
+    Tables.customer(s, dir).createOrReplaceTempView("customer_v")
+    Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+    s.sql(
+      """SELECT c_custkey, c_mktsegment FROM customer_v c
+        |WHERE EXISTS (SELECT 1 FROM orders_v o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000)
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  /** UNION DISTINCT across two slices (completes the §2.6 set-op trio
+    * with q10's EXCEPT/INTERSECT).
+    */
+  def unionDistinct(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    o.filter(col("o_totalprice") > 450000).select(col("o_custkey"))
+      .union(o.filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey")))
+      .distinct()
+      .orderBy(col("o_custkey"))
+  }
+
   /** JSON parse with parse-error capture (reference P1/P4: parse failure
     * becomes an invalid row with a message, never an abort —
     * YamlSchemaValidator.java:100-103). Corruption injected on
