@@ -2,8 +2,8 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.checks.{SpanInvariant, Verdicts}
-import graft.data.Interleaved
+import graft.checks.Validation
+
 
 /** Benchmark entry: one JSON line with total seconds, per-query seconds,
   * and the north-rule headline metric (validated docs/sec on a scaled
@@ -58,9 +58,8 @@ object Bench {
     val docs = spark.table(docsTbl)
     val ref = spark.table(refTbl)
     val nDocs = docs.count()
-    exec(Verdicts.perPartition(SpanInvariant.verdicts(docs, ref))) // warm
-    val valSec = time(
-      exec(Verdicts.perPartition(SpanInvariant.verdicts(docs, ref))))
+    exec(Validation.perPartition(docs, ref)) // warm
+    val valSec = time(exec(Validation.perPartition(docs, ref)))
     val docsPerSec = nDocs / valSec
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

@@ -20,7 +20,11 @@ import graft.data.Interleaved
   *    on a real cluster.
   */
 object BenchData {
-  val Buckets = 32
+  /** 128 buckets: at local[32] each level gets >=4 task waves, so one
+    * slow bucket cannot set the wall time (straggler smoothing); still a
+    * single wave of fine tasks on a 128-executor cluster.
+    */
+  val Buckets = 128
 
   def ensure(spark: SparkSession, sfDir: String, replicas: Int)
       : (String, String) = {
@@ -55,9 +59,9 @@ object BenchData {
     */
   def ensureBucketed(spark: SparkSession, sfDir: String, replicas: Int)
       : (String, String) = {
-    val base = dir(sfDir, replicas) + "_bucketed"
+    val base = dir(sfDir, replicas) + s"_bucketed$Buckets"
     val t = tag(sfDir, replicas)
-    val names = Seq("docs", "ref").map(side => side -> s"graft_${side}_$t")
+    val names = Seq("docs", "ref").map(side => side -> s"graft_${side}_b${Buckets}_$t")
     names.foreach { case (side, tbl) =>
       if (!spark.catalog.tableExists(tbl)) {
         val path = s"$base/$side"

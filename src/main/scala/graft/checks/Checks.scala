@@ -117,6 +117,29 @@ object Referential {
       .agg(count(lit(1)).as("cnt"))
 }
 
+object Validation {
+  /** The flagship constraint-eval pipeline: span-sequence invariant
+    * (custom expression) + the full compiled keyword rule set, folded to
+    * per-partition verdicts in one pass — this is the job the headline
+    * docs/sec metric times.
+    */
+  def fullVerdicts(docs: DataFrame, ref: DataFrame): DataFrame =
+    docs.join(
+        ref.select(col("doc_id"), col("spans").as("ref_spans"))
+          .hint("shuffle_hash"),
+        Seq("doc_id"), "inner")
+      .select(col("doc_id"), col("part"),
+        (graft.functions.SpanMismatchIndices.spanMismatchCount(
+          col("spans"), col("ref_spans")) +
+         graft.functions.SpanRuleViolationCount.spanRuleViolationCount(
+          col("spans"), graft.rules.RuleCompiler.benchRules))
+          .as("n_violations"))
+      .withColumn("valid", col("n_violations") === 0)
+
+  def perPartition(docs: DataFrame, ref: DataFrame): DataFrame =
+    Verdicts.perPartition(fullVerdicts(docs, ref))
+}
+
 object Verdicts {
   /** Per-partition conjunction (reference A1, FilesOutput.java:47-50
     * allMatch) plus counts (A2/A3) in one aggregation pass.

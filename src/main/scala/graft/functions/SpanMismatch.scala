@@ -2,23 +2,54 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Custom Catalyst expression for the hot path of the span-sequence
-  * invariant: given two span arrays, return the (usually empty) array of
-  * mismatching 0-based indices. Replaces a higher-order
-  * `transform(arrays_zip(...))` tree — HOF lambdas are interpreted
-  * per-element with boxed closures; this is one tight loop over the two
-  * ArrayData buffers, and violation structs are then built only for the
-  * rare mismatch indices instead of for every span.
+/** Custom Catalyst expressions for the hot path of the span-sequence
+  * invariant. Replaces a higher-order `transform(arrays_zip(...))` tree —
+  * HOF lambdas are interpreted per-element with boxed closures; these run
+  * one tight loop over the two ArrayData buffers.
   *
   * Mismatch := any of (kind, text, media_ref, offset) differing null-safely
   * (the per-row invariant from BASELINE.json input_hint), or an index
   * present on only one side (length mismatch).
+  */
+private[functions] object SpanCompare {
+  def fieldOrdinals(dt: DataType): (Int, Int, Int, Int) = {
+    val st = dt.asInstanceOf[ArrayType].elementType.asInstanceOf[StructType]
+    (st.fieldIndex("kind"), st.fieldIndex("text"),
+      st.fieldIndex("media_ref"), st.fieldIndex("offset"))
+  }
+
+  private def strEq(a: UTF8String, b: UTF8String): Boolean =
+    if (a == null) b == null else a.equals(b)
+
+  def mismatchAt(a: ArrayData, b: ArrayData, i: Int,
+      ords: (Int, Int, Int, Int)): Boolean = {
+    if (i >= a.numElements() || i >= b.numElements()) return true
+    if (a.isNullAt(i) || b.isNullAt(i))
+      return !(a.isNullAt(i) && b.isNullAt(i))
+    val (ki, ti, mi, oi) = ords
+    val sa = a.getStruct(i, 4)
+    val sb = b.getStruct(i, 4)
+    def s(row: InternalRow, ord: Int): UTF8String =
+      if (row.isNullAt(ord)) null else row.getUTF8String(ord)
+    !strEq(s(sa, ki), s(sb, ki)) ||
+      !strEq(s(sa, ti), s(sb, ti)) ||
+      !strEq(s(sa, mi), s(sb, mi)) || {
+        val na = sa.isNullAt(oi); val nb = sb.isNullAt(oi)
+        if (na || nb) na != nb else sa.getInt(oi) != sb.getInt(oi)
+      }
+  }
+}
+
+/** Array of mismatching 0-based indices (usually empty) — violation
+  * structs are then built only for the rare mismatch indices instead of
+  * for every span.
   */
 case class SpanMismatchIndices(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
@@ -28,44 +59,23 @@ case class SpanMismatchIndices(left: Expression, right: Expression)
 
   override def nullable: Boolean = left.nullable || right.nullable
 
-  @transient private lazy val fieldOrdinals: (Int, Int, Int, Int) = {
-    val st = left.dataType.asInstanceOf[ArrayType]
-      .elementType.asInstanceOf[StructType]
-    (st.fieldIndex("kind"), st.fieldIndex("text"),
-      st.fieldIndex("media_ref"), st.fieldIndex("offset"))
-  }
-
-  private def strEq(a: UTF8String, b: UTF8String): Boolean =
-    if (a == null) b == null else a.equals(b)
+  @transient private lazy val ords =
+    SpanCompare.fieldOrdinals(left.dataType)
 
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val (ki, ti, mi, oi) = fieldOrdinals
     val n = math.max(a.numElements(), b.numElements())
-    val out = new java.util.ArrayList[Int](4)
+    var out: java.util.ArrayList[Int] = null
     var i = 0
     while (i < n) {
-      val mismatch =
-        if (i >= a.numElements() || i >= b.numElements()) true
-        else if (a.isNullAt(i) || b.isNullAt(i))
-          !(a.isNullAt(i) && b.isNullAt(i))
-        else {
-          val sa = a.getStruct(i, 4)
-          val sb = b.getStruct(i, 4)
-          def s(row: org.apache.spark.sql.catalyst.InternalRow, ord: Int) =
-            if (row.isNullAt(ord)) null else row.getUTF8String(ord)
-          !strEq(s(sa, ki), s(sb, ki)) ||
-            !strEq(s(sa, ti), s(sb, ti)) ||
-            !strEq(s(sa, mi), s(sb, mi)) || {
-              val na = sa.isNullAt(oi); val nb = sb.isNullAt(oi)
-              if (na || nb) na != nb else sa.getInt(oi) != sb.getInt(oi)
-            }
-        }
-      if (mismatch) out.add(i)
+      if (SpanCompare.mismatchAt(a, b, i, ords)) {
+        if (out == null) out = new java.util.ArrayList[Int](4)
+        out.add(i)
+      }
       i += 1
     }
-    if (out.isEmpty) SpanMismatchIndices.emptyResult
+    if (out == null) SpanMismatchIndices.emptyResult
     else {
       val arr = new Array[Any](out.size)
       var j = 0
@@ -81,10 +91,66 @@ case class SpanMismatchIndices(left: Expression, right: Expression)
   override def prettyName: String = "span_mismatch_indices"
 }
 
+/** Serializable tight-loop counter shared by the interpreted eval and
+  * the generated code (referenced via addReferenceObj).
+  */
+final class MismatchCounter(ki: Int, ti: Int, mi: Int, oi: Int)
+    extends Serializable {
+  def count(a: ArrayData, b: ArrayData): Int = {
+    val ords = (ki, ti, mi, oi)
+    val n = math.max(a.numElements(), b.numElements())
+    var c = 0
+    var i = 0
+    while (i < n) {
+      if (SpanCompare.mismatchAt(a, b, i, ords)) c += 1
+      i += 1
+    }
+    c
+  }
+}
+
+/** Count-only variant for verdict-level pipelines: identical mismatch
+  * semantics, zero per-row allocation, and a real doGenCode so the whole
+  * projection stage stays inside whole-stage codegen (a CodegenFallback
+  * expression would de-codegen the entire stage).
+  */
+case class SpanMismatchCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = left.nullable || right.nullable
+
+  @transient private lazy val counter: MismatchCounter = {
+    val (ki, ti, mi, oi) = SpanCompare.fieldOrdinals(left.dataType)
+    new MismatchCounter(ki, ti, mi, oi)
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    Integer.valueOf(counter.count(
+      l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode = {
+    val h = ctx.addReferenceObj("mismatchCounter", counter,
+      classOf[MismatchCounter].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $h.count($a, $b);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SpanMismatchCount =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "span_mismatch_count"
+}
+
 object SpanMismatchIndices {
   private val emptyResult = new GenericArrayData(Array.empty[Any])
 
   def spanMismatchIndices(spans: Column, refSpans: Column): Column =
     GraftBridge.column(SpanMismatchIndices(
+      GraftBridge.expression(spans), GraftBridge.expression(refSpans)))
+
+  def spanMismatchCount(spans: Column, refSpans: Column): Column =
+    GraftBridge.column(SpanMismatchCount(
       GraftBridge.expression(spans), GraftBridge.expression(refSpans)))
 }

@@ -225,4 +225,27 @@ object RuleCompiler {
     RangeRule("offset", min = None, max = Some(togetherMax)))
 
   private def togetherMax: Long = graft.data.Interleaved.MaxSpans.toLong - 1
+
+  /** Flagship benchmark rule set: sized like a real-world schema (the
+    * reference's sample-schema.json carries 682 `type` + 131 `properties`
+    * + dozens of enum/pattern/range keywords — SURVEY.md §2.3), so the
+    * constraint-eval throughput measurement reflects a production keyword
+    * density, not a toy. Entirely within the compact fast-path surface.
+    */
+  val benchRules: Seq[SpanRule] = docRules ++ Seq(
+    EnumRule("kind", Seq("text", "image", "audio", "video", "table")),
+    EnumRule("kind", Seq("text", "image", "audio", "caption")),
+    PatternRule("media_ref", "^[a-z][a-z0-9]*$"),
+    PatternRule("media_ref", "^m"),
+    PatternRule("media_ref", "[0-9]$"),
+    PatternRule("text", "^[\\p{L}\\p{N}\\p{P} ]*$"),
+    PatternRule("text", "^\\S|^$"),
+    RangeRule("offset", Some(0), None),
+    RangeRule("offset", None, Some(1000)),
+    RangeRule("offset", Some(-1000), None),
+    RequiredRule("kind", None),
+    RequiredRule("offset", None),
+    MinLengthRule("text", 1),
+    MinLengthRule("media_ref", 2),
+    MinLengthRule("kind", 3))
 }

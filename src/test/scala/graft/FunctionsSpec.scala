@@ -159,6 +159,19 @@ class FunctionsSpec extends SparkSpec {
     assert(r2 === 1) // only the missing trailing span mismatches
   }
 
+  test("compact SpanRuleViolationCount ≡ HOF rule compiler count") {
+    val documents = Tables.documents(spark, "/root/testdata/sf0.001")
+    val docs = graft.data.Interleaved.docs(documents)
+    for (rules <- Seq(RuleCompiler.docRules, RuleCompiler.benchRules)) {
+      val both = docs.select(
+        size(RuleCompiler.violations(col("spans"), rules)).as("hof"),
+        graft.functions.SpanRuleViolationCount.spanRuleViolationCount(
+          col("spans"), rules).as("fast"))
+      assert(both.filter(col("hof") =!= col("fast")).count() === 0)
+      assert(both.filter(col("fast") > 0).count() > 0)
+    }
+  }
+
   test("registry binds rulesets and mirrors reference error messages") {
     val resolved = Seq(
       ("d1", "https://example.org/schemas/kubernetes.json", null),
