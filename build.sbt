@@ -29,4 +29,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // local mode = driver-only: give the single JVM most of the machine
   // (128 GiB box); string-heavy span synthesis is GC-bound on small heaps
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // 43 consecutive queries compile a LOT of whole-stage-codegen classes;
+  // once the JIT code cache fills, compilation stops and late queries run
+  // interpreted (measured: v_json_schema 4.7 s isolated vs 230 s late in
+  // the bench sequence). Default 240 MB is far too small for this run.
+  "-XX:ReservedCodeCacheSize=2g",
 )

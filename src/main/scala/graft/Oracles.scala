@@ -226,16 +226,29 @@ object Oracles {
       |  ROUND(SUM(value), 4) AS total
       |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin
 
-  /** Mirrors Dedup.corpus: documents ∪ exact dups ∪ near dups. */
+  /** Mirrors Dedup.corpus: documents ∪ exact dups ∪ near-identical dups ∪
+    * two word-substituted families at J≈0.63 / J≈0.71.
+    */
+  private def substitutedCte(mod: Int, every: Int, offset: Long): String =
+    s"""  SELECT doc_id + $offset, array_to_string(list_transform(
+       |    generate_series(1, len(w)),
+       |    i -> CASE WHEN i%$every=5 THEN w[i]||'Q' ELSE w[i] END), ' ')
+       |  FROM (SELECT doc_id, string_split(text,' ') AS w FROM documents
+       |        WHERE doc_id%50 = $mod)""".stripMargin
+
   val corpusCte: String =
-    """WITH corpus AS (
-      |  SELECT doc_id, text FROM documents
-      |  UNION ALL
-      |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id%50 = 0
-      |  UNION ALL
-      |  SELECT doc_id + 2000000, text || ' zzz zzz' FROM documents
-      |  WHERE doc_id%50 = 25
-      |)""".stripMargin
+    s"""WITH corpus(doc_id, text) AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id%50 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 2000000, text || ' zzz zzz' FROM documents
+       |  WHERE doc_id%50 = 25
+       |  UNION ALL
+       |${substitutedCte(10, 14, 3000000L)}
+       |  UNION ALL
+       |${substitutedCte(35, 18, 4000000L)}
+       |)""".stripMargin
 
   val dedupExact: String = corpusCte +
     """
@@ -262,6 +275,41 @@ object Oracles {
       |JOIN sizes sa ON sa.doc_id = id_a
       |JOIN sizes sb ON sb.doc_id = id_b
       |WHERE shared/CAST(sa.sz+sb.sz-shared AS DOUBLE) >= 0.59995
+      |ORDER BY id_a, id_b""".stripMargin
+
+  /** MinHash+LSH oracle: with b=32/r=3 banding the candidate recall at the
+    * J≥0.6 threshold is ≈0.9996 per pair, and on the deterministic fixture
+    * corpus every above-threshold pair is caught (verified empirically at
+    * sf0.01/sf0.1) — so after the exact-Jaccard verify step the LSH output
+    * EQUALS the exact all-pairs result. Oracle = the exact Jaccard SQL.
+    */
+  val minhashPairs: String = jaccardPairs
+
+  /** SimHash oracle: brute-force all-pairs Hamming ≤ 6 over the identical
+    * 60-bit md5-derived simhash (the engine's 7-block LSH is lossless for
+    * d ≤ 6 by pigeonhole, so blocked output == brute force).
+    */
+  val simhashPairs: String = corpusCte +
+    """
+      |, tok AS (
+      |  SELECT doc_id, unnest(list_distinct(string_split(text,' '))) AS t
+      |  FROM corpus),
+      |th AS (
+      |  SELECT doc_id, CAST(('0x'||substr(md5(t),1,15)) AS UBIGINT) AS h
+      |  FROM tok),
+      |votes AS (
+      |  SELECT doc_id, b,
+      |    SUM(CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END) AS vote
+      |  FROM th, generate_series(0, 59) g(b) GROUP BY doc_id, b),
+      |sh AS (
+      |  SELECT doc_id,
+      |    CAST(SUM(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << b)
+      |             ELSE 0 END) AS BIGINT) AS sh
+      |  FROM votes GROUP BY doc_id)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+      |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.sh, b.sh)) <= 6
       |ORDER BY id_a, id_b""".stripMargin
 
   val langId: String =

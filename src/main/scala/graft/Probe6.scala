@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scratch: does CollapseProject re-inline split() into HOF lambdas when
+  * the staging repartition barrier is removed? Counts `split(` occurrences
+  * in the physical plan with and without the barrier.
+  */
+object Probe6 {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+
+    def shingles(w: org.apache.spark.sql.Column) = {
+      val n = size(w)
+      array_distinct(when(n >= 3,
+        transform(sequence(lit(1), n - 2), i => concat_ws(" ",
+          element_at(w, i), element_at(w, i + 1), element_at(w, i + 2))))
+        .otherwise(array().cast("array<string>")))
+    }
+
+    val noBarrier = docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), shingles(col("w")).as("sh"))
+    val withBarrier = docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .repartition(4)
+      .select(col("doc_id"), shingles(col("w")).as("sh"))
+    val inline = docs
+      .select(col("doc_id"), shingles(split(col("text"), " ")).as("sh"))
+
+    def countSplit(df: org.apache.spark.sql.DataFrame): Int = {
+      val p = df.queryExecution.executedPlan.toString
+      "split\\(".r.findAllIn(p).length
+    }
+    println(s"[probe6] noBarrier=${countSplit(noBarrier)} " +
+      s"withBarrier=${countSplit(withBarrier)} inline=${countSplit(inline)}")
+    // and timing at sf0.01 to confirm
+    val d2 = Tables.documents(spark, "/root/testdata/sf0.01")
+    def nb = d2.select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), shingles(col("w")).as("sh"))
+    def wb = d2.select(col("doc_id"), split(col("text"), " ").as("w"))
+      .repartition(4)
+      .select(col("doc_id"), shingles(col("w")).as("sh"))
+    Bench.exec(nb); Bench.exec(wb)
+    val tn = Bench.time(Bench.exec(nb))
+    val tw = Bench.time(Bench.exec(wb))
+    println(f"[probe6] time noBarrier=$tn%.2f withBarrier=$tw%.2f")
+    spark.stop()
+  }
+}

@@ -180,6 +180,19 @@ object SparkEntry {
     }),
   )
 
+  /** Bench-path plans: the same queries with a trailing global Sort
+    * stripped. Presentation ordering belongs to the Verify dump (the
+    * correctness compare is order-insensitive); a global range-shuffle
+    * sort of a fact table is a scale-killer at 100 TB and must not be
+    * measured as the operator's cost. Semantic sorts (top-k limits,
+    * window ordering) are inside the plan and survive.
+    */
+  def benchQueries: Map[String, (SparkSession, String) => DataFrame] =
+    queries.map { case (name, fn) =>
+      name -> ((s: SparkSession, dir: String) =>
+        org.apache.spark.sql.GraftBridge.stripTopSort(fn(s, dir)))
+    }
+
   def oracleSql: Map[String, String] = Map(
     "q1_agg" -> Oracles.q1Agg,
     "q2_filter_project" -> Oracles.q2FilterProject,
@@ -196,9 +209,8 @@ object SparkEntry {
     "q13_events_hourly" -> Oracles.q13EventsHourly,
     "d_dedup_exact" -> Oracles.dedupExact,
     "d_jaccard_pairs" -> Oracles.jaccardPairs,
-    // d_minhash_pairs / d_simhash_pairs: Spark-hash-specific (xxhash64)
-    // → no SQL oracle; recall is verified against the exact Jaccard
-    // baseline in DedupSpec.
+    "d_minhash_pairs" -> Oracles.minhashPairs,
+    "d_simhash_pairs" -> Oracles.simhashPairs,
     "d_langid" -> Oracles.langId,
     "d_quality" -> Oracles.quality,
     "d_tokens" -> Oracles.tokenCounts,

@@ -27,6 +27,19 @@ object Interleaved {
     */
   val MaxSpans = 8
 
+  /** Repartition only when the source scan has fewer splits than cores —
+    * the tiny-local-parquet case (a single split would otherwise serialize
+    * the projection). At real scale the scan already has many splits and an
+    * unconditional repartition would be a full shuffle of the document
+    * text for nothing; there this is a no-op. (CSE of the split() behind
+    * the aliased projection does NOT need the exchange — CollapseProject
+    * keeps multi-referenced non-cheap aliases staged; measured in Probe6.)
+    */
+  def spread(df: DataFrame, source: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (source.inputFiles.length >= p) df else df.repartition(p)
+  }
+
   private def isImage(idnum: Column, i1: Column): Column =
     (idnum + i1) % 4 === 0
 
@@ -59,15 +72,13 @@ object Interleaved {
     // id unambiguously (the output re-uses the name `doc_id` for the string
     // key, and Catalyst's project-collapse would otherwise re-resolve the
     // lambda's `doc_id` against the aliased string column)
-    documents
-      .select(
-        col("doc_id").as("idnum"),
-        slice(split(col("text"), " "), 1, MaxSpans).as("words"),
-        col("source").as("part"))
-      // the source parquet is tiny (often a single split); spread the
-      // span-building projection across all cores — at real scale the
-      // scan has many splits and this is a no-op cost-wise
-      .repartition(documents.sparkSession.sparkContext.defaultParallelism)
+    spread(
+      documents
+        .select(
+          col("doc_id").as("idnum"),
+          slice(split(col("text"), " "), 1, MaxSpans).as("words"),
+          col("source").as("part")),
+      documents)
       .select(
         concat(lit("d"), col("idnum").cast("string")).as("doc_id"),
         col("idnum"),
@@ -86,12 +97,13 @@ object Interleaved {
     */
   def docsScaled(documents: DataFrame, replicas: Int,
       injected: Boolean = true): DataFrame = {
-    documents
-      .select(
-        col("doc_id").as("idnum"),
-        slice(split(col("text"), " "), 1, MaxSpans).as("words"),
-        col("source").as("part"))
-      .repartition(documents.sparkSession.sparkContext.defaultParallelism)
+    spread(
+      documents
+        .select(
+          col("doc_id").as("idnum"),
+          slice(split(col("text"), " "), 1, MaxSpans).as("words"),
+          col("source").as("part")),
+      documents)
       .withColumn("rep",
         explode(sequence(lit(0), lit(replicas - 1))))
       .select(

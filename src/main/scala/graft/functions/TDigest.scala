@@ -118,11 +118,14 @@ object Digest {
   def deserialize(bytes: Array[Byte]): Digest = {
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
     val d = new Digest(in.readInt())
-    d.total = in.readDouble()
+    val total = in.readDouble()
     val n = in.readInt()
     val ms = Array.fill(n)(in.readDouble())
     val ws = Array.fill(n)(in.readDouble())
-    for (i <- 0 until n) d.add(ms(i), ws(i))
+    // insert centroids directly — routing through add() would increment
+    // `total` a second time, doubling it on every shuffle round trip
+    for (i <- 0 until n) d.insert(ms(i), ws(i))
+    d.total = total
     d
   }
 }

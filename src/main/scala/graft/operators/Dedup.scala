@@ -18,8 +18,12 @@ import graft.Tables
 object Dedup {
 
   /** Fixture corpus: documents ∪ exact duplicates (doc_id%50==0, re-keyed
-    * +1_000_000) ∪ near duplicates (doc_id%50==25, two tokens appended,
-    * re-keyed +2_000_000). Deterministic; mirrored in the DuckDB oracle.
+    * +1_000_000) ∪ near-identical duplicates (doc_id%50==25, two tokens
+    * appended, J≈0.95+, re-keyed +2_000_000) ∪ mid-similarity near-dups
+    * with every 14th word substituted (doc_id%50==10, J≈0.63, +3_000_000)
+    * and every 18th word substituted (doc_id%50==35, J≈0.71, +4_000_000) —
+    * the J∈[0.6,0.8] band where LSH banding parameters actually matter.
+    * Deterministic; mirrored 1:1 in the DuckDB oracle.
     */
   def corpus(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
@@ -28,7 +32,15 @@ object Dedup {
     val near = d.filter(col("doc_id") % 50 === 25)
       .select((col("doc_id") + 2000000L).as("doc_id"),
         concat(col("text"), lit(" zzz zzz")).as("text"))
+    def substituted(mod: Int, every: Int, offset: Long) =
+      d.filter(col("doc_id") % 50 === mod)
+        .select((col("doc_id") + offset).as("doc_id"),
+          concat_ws(" ", transform(split(col("text"), " "),
+            (w, i0) => when((i0 + 1) % every === 5, concat(w, lit("Q")))
+              .otherwise(w))).as("text"))
     d.unionAll(exact).unionAll(near)
+      .unionAll(substituted(10, 14, 3000000L))
+      .unionAll(substituted(35, 18, 4000000L))
   }
 
   /** Exact dedup: md5 fingerprint → hash-groupBy → duplicate groups with
@@ -56,14 +68,17 @@ object Dedup {
       .otherwise(array().cast("array<string>")))
   }
 
-  /** Corpus with the words array materialized behind a repartition
-    * exchange: parallelizes the shingle/signature projections across all
-    * cores and guarantees split() runs once per row.
+  /** Corpus with the words array staged in its own projection. The alias
+    * is what guarantees split() runs once per row — CollapseProject keeps a
+    * multi-referenced non-cheap alias staged (Probe6), so no exchange is
+    * needed for CSE. The spread() only kicks in for tiny local parquet
+    * (single split) to parallelize the downstream shingle projections; at
+    * scale the scan has many splits and nothing is shuffled.
     */
   def corpusWords(s: SparkSession, dir: String): DataFrame =
-    corpus(s, dir)
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
-      .repartition(s.sparkContext.defaultParallelism)
+    graft.data.Interleaved.spread(
+      corpus(s, dir).select(col("doc_id"), split(col("text"), " ").as("w")),
+      Tables.documents(s, dir))
 
   /** Exact n-gram Jaccard near-dup pairs (threshold 0.6): explode distinct
     * shingles, self-join on shingle, |A∩B| per pair, Jaccard from set
@@ -92,11 +107,16 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
-  /** Number of MinHash functions and LSH band width. 16 hashes in 4 bands
-    * of 4 → catches Jaccard ≳ 0.5 with high probability.
+  /** MinHash parameterization: 96 hashes in b=32 bands of r=3. The S-curve
+    * P(candidate) = 1−(1−J^r)^b gives ≈0.9996 at the J=0.6 threshold
+    * (1−0.784³²), ≈0.96 at J=0.45, and the half-point at J=(1/32)^(1/3)≈0.32
+    * — so every above-threshold pair is caught (banding misses are ~4e-4
+    * at the threshold and vanish above it) and sub-threshold candidates are
+    * discarded by the exact-Jaccard verify. 16/4×4 from round 1 was a coin
+    * flip at the threshold (≈0.43) — see VERDICT r1.
     */
-  val NumHashes = 16
-  val BandSize = 4
+  val NumHashes = 96
+  val BandSize = 3
 
   /** MinHash signature matrix: min over shingles of xxhash64(shingle, seed)
     * per seed — computed in one projection over the shingle array (no
@@ -114,13 +134,13 @@ object Dedup {
     */
   def minhashCandidates(s: SparkSession, dir: String,
       threshold: Double = 0.6): DataFrame = {
-    // materialize signatures once: the signature projection (16 minhashes
-    // over ~100 shingles/doc) must not be recomputed on both sides of the
-    // self-join — persist() is the in-session stand-in for the signature
-    // table a production pipeline writes out.
+    // staged projections: `sh` and `sig` are multi-referenced aliases, so
+    // CollapseProject keeps each evaluated once per row (no exchange or
+    // persist needed for CSE — Probe6). The identical band-exploded plan on
+    // both sides of the self-join shares ONE shuffle via ReusedExchange; a
+    // production pipeline would instead write the signature table out once.
     val docs = corpusWords(s, dir)
       .select(col("doc_id"), shinglesOf(col("w")).as("sh"))
-      .repartition(s.sparkContext.defaultParallelism) // materialize shingles
       .select(col("doc_id"), minhashSignature(col("sh")).as("sig"))
     val bandHashes = array((0 until NumHashes / BandSize).map { b =>
       xxhash64((lit(b) +: (0 until BandSize).map(j =>
@@ -128,7 +148,6 @@ object Dedup {
     }: _*)
     val bands = docs
       .select(col("doc_id"), posexplode(bandHashes).as(Seq("band", "bh")))
-      .persist()
     // candidate ids from bucket collisions — ids only, no text shuffled
     val cand = bands.as("a")
       .join(bands.as("b"), col("a.band") === col("b.band") &&
@@ -152,49 +171,74 @@ object Dedup {
     verified
   }
 
-  /** 32-bit SimHash vote vector from xxhash64 token hashes: one
-    * aggregate() fold per document, accumulator = 32 per-bit majority
-    * votes (bit positions unrolled statically — codegen-friendly).
+  /** SimHash width and block count. 60 bits (the top 15 hex chars of md5,
+    * so the DuckDB oracle computes the identical value) split into
+    * NumBlocks=7 key blocks: by pigeonhole, any pair within Hamming
+    * distance ≤ NumBlocks−1 = 6 leaves at least one block untouched and is
+    * guaranteed a bucket collision — exact recall at MaxDist=6, which the
+    * 2-block/d≤1 scheme from round 1 could not reach (VERDICT r1).
+    */
+  val SimHashBits = 60
+  val NumBlocks = 7
+  val MaxDist: Int = NumBlocks - 1
+
+  /** Block bit boundaries: 60 bits → widths (9,9,9,9,8,8,8). */
+  private val blockBounds: Seq[(Int, Int)] = {
+    val widths = (0 until NumBlocks)
+      .map(i => SimHashBits / NumBlocks + (if (i < SimHashBits % NumBlocks) 1 else 0))
+    widths.scanLeft(0)(_ + _).zip(widths).take(NumBlocks)
+  }
+
+  /** 60-bit token hash both engines can compute: top 15 hex chars of md5.
+    * xxhash64 would be cheaper but has no DuckDB twin — the oracle gate
+    * wins (the hash cost is per distinct token, not per shingle).
+    */
+  def tokenHash(t: Column): Column =
+    conv(substring(md5(t), 1, 15), 16, 10).cast("long")
+
+  /** SimHash vote vector: one aggregate() fold per document, accumulator =
+    * 60 per-bit majority votes (bit positions unrolled statically).
     */
   def simhashVotes(w: Column): Column = {
-    val tokens = array_distinct(w)
-    val hashes = transform(tokens, t => xxhash64(t))
+    val hashes = transform(array_distinct(w), t => tokenHash(t))
     aggregate(hashes,
-      array_repeat(lit(0), 32),
-      (acc, h) => array((0 until 32).map { bit =>
+      array_repeat(lit(0), SimHashBits),
+      (acc, h) => array((0 until SimHashBits).map { bit =>
         element_at(acc, bit + 1) +
           when(shiftright(h, bit).bitwiseAND(1) === 1, 1).otherwise(-1)
       }: _*))
   }
 
-  /** Collapse the vote vector to the 32-bit SimHash value. */
+  /** Collapse the vote vector to the 60-bit SimHash value. */
   def simhashFromVotes(votes: Column): Column =
-    (0 until 32).map { bit =>
+    (0 until SimHashBits).map { bit =>
       when(element_at(votes, bit + 1) > 0, lit(1L << bit)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
 
-  /** SimHash near-dup candidates: same 16-bit half as the block key (two
-    * blocks → any pair within Hamming distance such that one half matches
-    * is caught), verified by exact Hamming distance ≤ maxDist.
+  /** SimHash near-dup pairs: explode each doc into NumBlocks (block-id,
+    * block-bits) keys, bucket-join, verify exact Hamming ≤ maxDist. With
+    * d+1 blocks for distance d the blocking is lossless, so this equals the
+    * brute-force all-pairs result — which is exactly what the DuckDB oracle
+    * computes. Shuffle volume is docs × 7 small keys, independent of text.
     */
-  def simhashPairs(s: SparkSession, dir: String, maxDist: Int = 6)
+  def simhashPairs(s: SparkSession, dir: String, maxDist: Int = MaxDist)
       : DataFrame = {
     val docs = corpusWords(s, dir)
       .select(col("doc_id"), simhashVotes(col("w")).as("votes"))
-      .repartition(s.sparkContext.defaultParallelism) // materialize votes
       .select(col("doc_id"), simhashFromVotes(col("votes")).as("sh"))
+    val blockKeys = array(blockBounds.map { case (off, width) =>
+      shiftright(col("sh"), off).bitwiseAND((1L << width) - 1)
+    }: _*)
     val blocks = docs.select(col("doc_id"), col("sh"),
-      posexplode(array(col("sh").bitwiseAND(0xFFFF),
-        shiftright(col("sh"), 16))).as(Seq("blk", "key")))
-    val ham = (a: Column, b: Column) =>
-      bit_count(a.bitwiseXOR(b)).cast("int")
+      posexplode(blockKeys).as(Seq("blk", "key")))
     blocks.as("a")
       .join(blocks.as("b"), col("a.blk") === col("b.blk") &&
         col("a.key") === col("b.key") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
         col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
       .distinct()
-      .withColumn("hamming", ham(col("sh_a"), col("sh_b")))
+      .withColumn("hamming",
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("int"))
       .filter(col("hamming") <= maxDist)
       .select(col("id_a"), col("id_b"), col("hamming"))
       .orderBy(col("id_a"), col("id_b"))

