@@ -34,4 +34,14 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // interpreted (measured: v_json_schema 4.7 s isolated vs 230 s late in
   // the bench sequence). Default 240 MB is far too small for this run.
   "-XX:ReservedCodeCacheSize=2g",
+  // InferFiltersFromGenerate infers `size(g) > 0` from explode(g) and
+  // predicate pushdown then INLINES the generator's whole defining
+  // expression into a scan-level filter — for a computed generator input
+  // (a compiled schema's violations array) the entire schema evaluation
+  // runs 2-3x per row (measured: explode(violations) 4.9 s vs 0.7 s at
+  // sf0.1, Probe11f/g). The rule only helps when the generator input is a
+  // stored column; for this engine's compute-then-explode shape it is a
+  // pure pessimization, at 100 TB a catastrophic one.
+  "-Dspark.sql.optimizer.excludedRules=" +
+    "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
 )

@@ -611,6 +611,67 @@ object Oracles {
       |FROM events WHERE CAST(props->>'k' AS INTEGER) > 80
       |ORDER BY event_id, pointer""".stripMargin
 
+  /** Mirrors data.JsonDocs injection arithmetic — derives the expected
+    * violation set from the documents columns directly (never parses
+    * JSON), so the VARIANT compiler path is checked end-to-end by an
+    * independent computation. Exclusion conditions encode JsonDocs'
+    * CASE order (first match wins).
+    */
+  val jsonSchema2: String =
+    """SELECT doc_id, pointer, keyword, message, schemaLocation FROM (
+      |  SELECT doc_id, '/' AS pointer, 'required' AS keyword,
+      |    'required property ''email'' not found' AS message,
+      |    '#//required' AS schemaLocation
+      |  FROM documents WHERE doc_id%59=0
+      |  UNION ALL
+      |  SELECT doc_id, '/email', 'format',
+      |    'does not match the email pattern', '#/properties/email/format'
+      |  FROM documents WHERE doc_id%23=0 AND doc_id%59<>0
+      |  UNION ALL
+      |  SELECT doc_id, '/ts', 'format',
+      |    'does not match the date-time pattern', '#/properties/ts/format'
+      |  FROM documents WHERE doc_id%29=0
+      |  UNION ALL
+      |  SELECT doc_id, '/count', 'maximum',
+      |    'must have a maximum value of 500', '#/properties/count/maximum'
+      |  FROM documents WHERE n_chars > 500
+      |  UNION ALL
+      |  SELECT doc_id, '/score', 'exclusiveMinimum',
+      |    'must have an exclusive minimum value of 0',
+      |    '#/properties/score/exclusiveMinimum'
+      |  FROM documents WHERE doc_id%10=0
+      |  UNION ALL
+      |  SELECT doc_id, '/score', 'multipleOf', 'must be multiple of 3',
+      |    '#/properties/score/multipleOf'
+      |  FROM documents WHERE (doc_id%10)%3<>0
+      |  UNION ALL
+      |  SELECT doc_id, '/tags', 'uniqueItems',
+      |    'must have only unique items in the array',
+      |    '#/properties/tags/uniqueItems'
+      |  FROM documents WHERE doc_id%31=0
+      |  UNION ALL
+      |  SELECT doc_id, '/tags/1', 'type', 'integer found, string expected',
+      |    '#/properties/tags/items/type'
+      |  FROM documents WHERE doc_id%37=0 AND doc_id%31<>0
+      |  UNION ALL
+      |  SELECT doc_id, '/tags', 'minItems', 'must have at least 1 items',
+      |    '#/properties/tags/minItems'
+      |  FROM documents
+      |  WHERE doc_id%41=0 AND doc_id%31<>0 AND doc_id%37<>0
+      |  UNION ALL
+      |  SELECT doc_id, '/kind', 'oneOf',
+      |    'must be valid against exactly one schema',
+      |    '#/properties/kind/oneOf'
+      |  FROM documents WHERE doc_id%53=0
+      |  UNION ALL
+      |  SELECT doc_id, '/levels/app', 'additionalProperties',
+      |    'property ''app'' does not match the additional-properties schema',
+      |    '#/properties/levels/additionalProperties'
+      |  FROM documents
+      |  WHERE doc_id%43=0
+      |     OR (doc_id%61=0 AND doc_id%43<>0 AND doc_id%47<>0)
+      |) ORDER BY doc_id, pointer, keyword""".stripMargin
+
   val q1Agg: String =
     """SELECT l_returnflag, l_linestatus,
       |  ROUND(SUM(l_quantity), 4) AS sum_qty,

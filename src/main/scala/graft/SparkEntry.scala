@@ -161,17 +161,36 @@ object SparkEntry {
     }),
     "v_json_schema" -> ((s, dir) => {
       // JSON-Schema compiled once on the driver, executed over VARIANT
+      // via the STAGED path: one parse + one extraction per referenced
+      // path per row (VERDICT r1 wrongness #6)
       val compiled = graft.rules.JsonSchemaCompiler.compile(
         """{"type":"object","required":["k"],
           |"properties":{"k":{"type":"integer","minimum":0,
           |"maximum":80}}}""".stripMargin.replace("\n", ""))
-      Tables.events(s, dir)
-        .select(col("event_id"),
-          explode(compiled.violations(parse_json(col("props")))).as("x"))
+      compiled.withViolations(
+          Tables.events(s, dir).select(col("event_id"), col("props")),
+          parse_json(col("props")))
+        .select(col("event_id"), explode(col("violations")).as("x"))
         .select(col("event_id"), col("x.pointer").as("pointer"),
           col("x.keyword").as("keyword"), col("x.message").as("message"),
           col("x.schemaLocation").as("schemaLocation"))
         .orderBy(col("event_id"), col("pointer"))
+    }),
+    "v_json_schema2" -> ((s, dir) => {
+      // the full keyword surface (items, oneOf, format, recursive
+      // additionalProperties, exclusive bounds, multipleOf, uniqueItems)
+      // over synthesized JSON; oracle derives expectations from the raw
+      // columns without parsing JSON
+      val compiled =
+        graft.rules.JsonSchemaCompiler.compile(graft.data.JsonDocs.schema)
+      compiled.withViolations(
+          graft.data.JsonDocs.docsJson(Tables.documents(s, dir)),
+          parse_json(col("json")))
+        .select(col("doc_id"), explode(col("violations")).as("x"))
+        .select(col("doc_id"), col("x.pointer").as("pointer"),
+          col("x.keyword").as("keyword"), col("x.message").as("message"),
+          col("x.schemaLocation").as("schemaLocation"))
+        .orderBy(col("doc_id"), col("pointer"), col("keyword"))
     }),
     "v_column_stats" -> ((s, dir) => {
       Stats.columnStats(Tables.documents(s, dir),
@@ -231,6 +250,7 @@ object SparkEntry {
     "q18_sql_exists" -> Oracles.sqlExists,
     "q19_union_distinct" -> Oracles.unionDistinct,
     "v_json_schema" -> Oracles.jsonSchema,
+    "v_json_schema2" -> Oracles.jsonSchema2,
     "v_snapshot_diff" -> Oracles.snapshotDiff,
     "v_span_verdicts" -> Oracles.spanVerdicts,
     "v_span_violations" -> Oracles.spanViolations,
