@@ -469,22 +469,34 @@ object Oracles {
       |      AS embedded
       |  FROM documents)""".stripMargin
 
+  /** The full bundled schemastore catalog (~2,600 compiled globs) as a
+    * VALUES list: (url, regex, basename_only, specificity, idx). The
+    * regexes are RE2-compatible by construction; matching semantics
+    * (basename vs full path, first-wins tie-break) mirror the engine —
+    * glob-COMPILE correctness is independently pinned by
+    * CatalogDriftSpec's port of the reference's GlobPatternTest vectors.
+    */
   private def catValues: String =
-    graft.rules.Catalog.compiled.map { case (name, url, re, spec) =>
-      s"('$name', '$url', '$re', $spec)"
-    }.mkString(", ")
+    graft.rules.Catalog.compiled.map {
+      case (_, url, re, bn, spec, idx) =>
+        s"('${url.replace("'", "''")}', '${re.replace("'", "''")}', " +
+          s"$bn, $spec, $idx)"
+    }.mkString(",\n")
 
   private def routingSql(defaultUrl: Option[String]): String = {
     val d = defaultUrl.map(u => s"'$u'").getOrElse("CAST(NULL AS VARCHAR)")
     pathsCte +
       s"""
-         |, cat(cat_name, cat_url, regex, spec) AS (VALUES $catValues),
+         |, cat(cat_url, regex, bn, spec, idx) AS (VALUES
+         |$catValues),
          |m AS (
          |  SELECT doc_id, path, embedded, cat_url, spec,
          |    ROW_NUMBER() OVER (PARTITION BY doc_id
-         |      ORDER BY spec DESC NULLS LAST, cat_url DESC NULLS LAST)
+         |      ORDER BY spec DESC NULLS LAST, idx ASC NULLS LAST)
          |      AS rn
-         |  FROM paths LEFT JOIN cat ON regexp_matches(path, regex))
+         |  FROM paths LEFT JOIN cat ON regexp_matches(
+         |    CASE WHEN bn THEN regexp_extract(path, '[^/]*$$')
+         |         ELSE path END, regex))
          |SELECT doc_id, path,
          |  coalesce(embedded, cat_url, $d) AS schema_url,
          |  CASE WHEN embedded IS NOT NULL THEN 'embedded'

@@ -12,27 +12,50 @@ import graft.rules.Catalog
 class CatalogDriftSpec extends SparkSpec {
   import spark.implicits._
 
-  private def matches(glob: String, path: String): Boolean = {
-    val (re, _) = Catalog.compileGlob(glob)
-    path.matches(re)
+  test("glob semantics: the reference's GlobPatternTest vectors verbatim") {
+    // GlobPatternTest.java:12-31 — including the two cases the r1
+    // compiler got wrong: '**/x' matching at depth zero, and slash-free
+    // globs matching the basename only (ADVICE r1)
+    val vectors = Seq(
+      ("**/.github/workflows/*.yml", ".github/workflows/ci.yml", true),
+      ("**/.github/workflows/*.yml", "repo/.github/workflows/ci.yml", true),
+      ("**/.github/workflows/*.yml", "/abs/repo/.github/workflows/ci.yml",
+        true),
+      ("**/.github/workflows/*.yml", ".github/workflows/ci.yaml", false),
+      ("**/docker-compose.yml", "docker-compose.yml", true),
+      ("**/docker-compose.yml", "sub/dir/docker-compose.yml", true),
+      ("Chart.yaml", "charts/foo/Chart.yaml", true),
+      ("Chart.yaml", "Chart.yaml", true),
+      ("Chart.yaml", "Chart.yaml.bak", false),
+      ("*.yaml", "foo.yaml", true),
+      ("*.yaml", "nested/foo.yaml", true), // basename-only
+      ("a?c.yml", "abc.yml", true),
+      ("a?c.yml", "ac.yml", false))
+    vectors.foreach { case (glob, path, expected) =>
+      assert(Catalog.globMatches(glob, path) === expected,
+        s"$glob vs $path")
+    }
+    // segment semantics beyond the reference vectors
+    assert(Catalog.globMatches("k8s/**/*.yaml", "k8s/prod/deep/app.yaml"))
+    assert(!Catalog.globMatches("k8s/**/*.yaml", "other/app.yaml"))
+    assert(Catalog.globMatches("file-?.yml", "file-1.yml"))
+    assert(!Catalog.globMatches("file-?.yml", "file-12.yml"))
   }
 
-  test("glob: * stays within a path segment, ** crosses, ? is one char") {
-    assert(matches("*.yml", "a.yml"))
-    assert(!matches("*.yml", "dir/a.yml"))
-    assert(matches("**/*.yml", "dir/sub/a.yml"))
-    assert(matches("k8s/**/*.yaml", "k8s/prod/deep/app.yaml"))
-    assert(!matches("k8s/**/*.yaml", "other/app.yaml"))
-    assert(matches("file-?.yml", "file-1.yml"))
-    assert(!matches("file-?.yml", "file-12.yml"))
-    assert(matches(".github/workflows/*.yml", ".github/workflows/ci.yml"))
-    assert(!matches(".github/workflows/*.yml", "xgithub/workflows/ci.yml"))
+  test("glob specificity: more literal characters wins (ties: first entry)") {
+    assert(Catalog.compileGlob("**/.github/workflows/ci.yml").specificity >
+      Catalog.compileGlob("*.yml").specificity)
   }
 
-  test("glob specificity: more literal characters wins") {
-    val (_, specWorkflow) = Catalog.compileGlob(".github/workflows/*.yml")
-    val (_, specGeneric) = Catalog.compileGlob("*.yml")
-    assert(specWorkflow > specGeneric)
+  test("detection against the real bundled snapshot (SchemaDetectorTest)") {
+    // SchemaDetectorTest.java:23-51, against the same 1,347-entry catalog
+    assert(Catalog.entries.size > 1200)
+    val wf = Catalog.detect(".github/workflows/ci.yml")
+    assert(wf.exists(_.contains("github-workflow")), wf.toString)
+    assert(Catalog.detect("docker-compose.yml").isDefined)
+    val chart = Catalog.detect("charts/mychart/Chart.yaml")
+    assert(chart.exists(_.toLowerCase.contains("chart")), chart.toString)
+    assert(Catalog.detect("some/random/file.txt").isEmpty)
   }
 
   test("routing: most-specific catalog match wins; precedence holds") {
@@ -42,13 +65,19 @@ class CatalogDriftSpec extends SparkSpec {
       .as[(Long, String, String)].collect()
     val byMod = r.groupBy(t => (t._1 % 6).toInt)
       .view.mapValues(_.map(_._2).toSet).toMap
-    assert(byMod(0) === Set("catalog")) // workflow glob beats *.yml
-    assert(byMod(1) === Set("catalog")) // k8s/**
+    assert(byMod(0) === Set("catalog")) // workflow glob beats *.yml ones
     assert(byMod(3) === Set("error"))   // .txt matches nothing, no default
     assert(byMod(5) === Set("embedded"))
-    // the workflow match must be the specific schema, not generic-yml
+    // the workflow paths must route to the real github-workflow schema
     val wf = r.filter(_._1 % 6 == 0).map(_._3).toSet
-    assert(wf === Set("https://example.org/schemas/github-workflow.json"))
+    assert(wf.size === 1 && wf.head.contains("github-workflow"), wf)
+    // distributed argmax == driver argmax on every path family
+    val paths = Catalog.docPaths(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "path").as[(Long, String)].collect()
+    val engine = r.map(t => t._1 -> t._3).toMap
+    paths.filter(_._1 % 6 != 5).foreach { case (id, p) =>
+      assert(engine(id) === Catalog.detect(p).orNull, s"path $p")
+    }
   }
 
   test("drift: identical snapshots score zero, shifted snapshots don't") {
