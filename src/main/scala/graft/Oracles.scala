@@ -483,35 +483,55 @@ object Oracles {
           s"$bn, $spec, $idx)"
     }.mkString(",\n")
 
-  private def routingSql(defaultUrl: Option[String]): String = {
-    val d = defaultUrl.map(u => s"'$u'").getOrElse("CAST(NULL AS VARCHAR)")
-    pathsCte +
-      s"""
-         |, cat(cat_url, regex, bn, spec, idx) AS (VALUES
-         |$catValues),
-         |m AS (
-         |  SELECT doc_id, path, embedded, cat_url, spec,
-         |    ROW_NUMBER() OVER (PARTITION BY doc_id
-         |      ORDER BY spec DESC NULLS LAST, idx ASC NULLS LAST)
-         |      AS rn
-         |  FROM paths LEFT JOIN cat ON regexp_matches(
-         |    CASE WHEN bn THEN regexp_extract(path, '[^/]*$$')
-         |         ELSE path END, regex))
-         |SELECT doc_id, path,
-         |  coalesce(embedded, cat_url, $d) AS schema_url,
-         |  CASE WHEN embedded IS NOT NULL THEN 'embedded'
-         |       WHEN cat_url IS NOT NULL THEN 'catalog'
-         |       WHEN $d IS NOT NULL THEN 'default'
-         |       ELSE 'error' END AS resolution,
-         |  CASE WHEN embedded IS NULL AND cat_url IS NULL AND $d IS NULL
-         |       THEN 'No schema found in YAML file or provided as parameter'
-         |       END AS error
-         |FROM m WHERE rn = 1 ORDER BY doc_id""".stripMargin
-  }
+  /** No CLI schema → embedded > catalog > error (the only branch where
+    * the catalog runs, YamlSchemaValidator.java:131-133).
+    */
+  val routingNone: String = pathsCte +
+    s"""
+       |, cat(cat_url, regex, bn, spec, idx) AS (VALUES
+       |$catValues),
+       |m AS (
+       |  SELECT doc_id, path, embedded, cat_url, spec,
+       |    ROW_NUMBER() OVER (PARTITION BY doc_id
+       |      ORDER BY spec DESC NULLS LAST, idx ASC NULLS LAST)
+       |      AS rn
+       |  FROM paths LEFT JOIN cat ON regexp_matches(
+       |    CASE WHEN bn THEN regexp_extract(path, '[^/]*$$')
+       |         ELSE path END, regex))
+       |SELECT doc_id, path,
+       |  coalesce(embedded, cat_url) AS schema_url,
+       |  CASE WHEN embedded IS NOT NULL THEN 'embedded'
+       |       WHEN cat_url IS NOT NULL THEN 'catalog'
+       |       ELSE 'error' END AS resolution,
+       |  CASE WHEN embedded IS NULL AND cat_url IS NULL
+       |       THEN 'No schema found in YAML file or provided as parameter'
+       |       END AS error
+       |FROM m WHERE rn = 1 ORDER BY doc_id""".stripMargin
 
-  val routingDefault: String =
-    routingSql(Some("https://example.org/schemas/default.json"))
-  val routingNone: String = routingSql(None)
+  /** CLI schema given → embedded beats it, catalog never runs
+    * (YamlSchemaValidator.java:123-136 — the r1 oracle had catalog >
+    * default, which the reference does not do).
+    */
+  val routingDefault: String = pathsCte +
+    """
+      |SELECT doc_id, path,
+      |  coalesce(embedded, 'https://example.org/schemas/default.json')
+      |    AS schema_url,
+      |  CASE WHEN embedded IS NOT NULL THEN 'embedded'
+      |       ELSE 'default' END AS resolution,
+      |  CAST(NULL AS VARCHAR) AS error
+      |FROM paths ORDER BY doc_id""".stripMargin
+
+  /** --schema-override: the CLI schema wins over everything
+    * (YamlSchemaValidatorRunner config; YamlSchemaValidator.java:125).
+    */
+  val routingOverride: String = pathsCte +
+    """
+      |SELECT doc_id, path,
+      |  'https://example.org/schemas/default.json' AS schema_url,
+      |  'override' AS resolution,
+      |  CAST(NULL AS VARCHAR) AS error
+      |FROM paths ORDER BY doc_id""".stripMargin
 
   val parseJson: String =
     """SELECT event_id,

@@ -126,6 +126,12 @@ object SparkEntry {
     "v_routing_none" -> ((s, dir) => {
       Catalog.resolve(Catalog.docPaths(s, dir), None).orderBy(col("doc_id"))
     }),
+    "v_routing_override" -> ((s, dir) => {
+      Catalog.resolve(Catalog.docPaths(s, dir),
+          Some("https://example.org/schemas/default.json"),
+          schemaOverride = true)
+        .orderBy(col("doc_id"))
+    }),
     "v_summary" -> ((s, dir) => {
       val documents = Tables.documents(s, dir)
       Verdicts.summary(SpanInvariant.verdicts(
@@ -242,6 +248,7 @@ object SparkEntry {
     "v_drift" -> Oracles.drift,
     "v_routing_default" -> Oracles.routingDefault,
     "v_routing_none" -> Oracles.routingNone,
+    "v_routing_override" -> Oracles.routingOverride,
     "v_summary" -> Oracles.summary,
     "v_quantiles" -> Oracles.quantiles,
     "q15_salted_agg" -> Oracles.saltedAgg,

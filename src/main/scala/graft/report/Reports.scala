@@ -28,12 +28,34 @@ object Reports {
   final case class VerdictRow(doc_id: String, valid: Boolean,
       violations: Seq[(String, String, String)]) // (pointer, keyword, msg)
 
-  /** Collect verdicts + violations into ordered rows (small by contract:
-    * reports render the violating slice, capped at `maxDetails`).
+  /** Exact run totals, computed DISTRIBUTED in one aggregation — these
+    * are what the renderers use for counts/verdicts, so truncating the
+    * enumerated rows never skews a report's numbers.
+    */
+  final case class RunSummary(docs: Long, validDocs: Long,
+      invalidDocs: Long, violations: Long) {
+    def allValid: Boolean = invalidDocs == 0
+  }
+
+  /** Collect a BOUNDED slice of verdicts + violations for rendering,
+    * plus exact aggregated totals. The r1 version collected every
+    * verdict row to the driver — one row per document, an OOM at 10⁹
+    * docs (VERDICT r1 wrongness #4); now at most `maxDocs` verdict rows
+    * (ordered by doc_id) and `maxDetails` violation rows ever leave the
+    * cluster, and the golden shapes stay exact because every count comes
+    * from [[RunSummary]], not from the collected slice.
     */
   def gather(verdicts: DataFrame, violations: DataFrame,
-      maxDetails: Int = 10000): Seq[VerdictRow] = {
+      maxDocs: Int = 10000, maxDetails: Int = 10000)
+      : (Seq[VerdictRow], RunSummary) = {
+    val s = verdicts.agg(
+      count(lit(1)).as("docs"),
+      count_if(col("valid")).as("valid_docs")).collect()(0)
+    val nViol = violations.count()
+    val summary = RunSummary(s.getLong(0), s.getLong(1),
+      s.getLong(0) - s.getLong(1), nViol)
     val v = verdicts.select("doc_id", "valid").orderBy("doc_id")
+      .limit(maxDocs)
       .collect().map(r => (r.getString(0), r.getBoolean(1)))
     val details = violations
       .select("doc_id", "pointer", "keyword", "message")
@@ -42,9 +64,10 @@ object Reports {
       .map(r => (r.getString(0), (r.getString(1), r.getString(2),
         r.getString(3))))
       .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
-    v.map { case (id, ok) =>
+    val rows = v.map { case (id, ok) =>
       VerdictRow(id, ok, details.getOrElse(id, Seq.empty))
     }.toSeq
+    (rows, summary)
   }
 
   /** TEXT — mirrors the reference shape (testreport/invalidyaml.txt):
@@ -61,8 +84,10 @@ object Reports {
     sb.toString
   }
 
-  /** JSON — OutputUnit-LIST-like shape (testreport/invalidyaml.json). */
-  def renderJson(rows: Seq[VerdictRow]): String = {
+  /** JSON — OutputUnit-LIST-like shape (testreport/invalidyaml.json).
+    * Run verdict comes from the exact summary, not the collected slice.
+    */
+  def renderJson(rows: Seq[VerdictRow], summary: RunSummary): String = {
     val docs = rows.map { r =>
       val details = r.violations.map { case (ptr, kw, msg) =>
         s"""{"instanceLocation":"${jsonEscape(ptr)}","valid":false,""" +
@@ -71,14 +96,38 @@ object Reports {
       s"""{"doc":"${jsonEscape(r.doc_id)}","valid":${r.valid},""" +
         s""""details":$details}"""
     }.mkString("[", ",", "]")
-    s"""{"valid":${rows.forall(_.valid)},"documents":$docs}"""
+    s"""{"valid":${summary.allValid},"documents":$docs}"""
+  }
+
+  /** YAML — the reference's YAML render branch
+    * (YamlSchemaValidatorRunner.java:103, FilesOutput.toYamlString):
+    * same document/details shape as the JSON report, rendered as YAML.
+    */
+  def renderYaml(rows: Seq[VerdictRow], summary: RunSummary): String = {
+    def q(s: String): String = "\"" + jsonEscape(s) + "\""
+    val sb = new StringBuilder
+    sb.append(s"valid: ${summary.allValid}\n")
+    sb.append("documents:\n")
+    rows.foreach { r =>
+      sb.append(s"- doc: ${q(r.doc_id)}\n")
+      sb.append(s"  valid: ${r.valid}\n")
+      if (r.violations.nonEmpty) {
+        sb.append("  details:\n")
+        r.violations.foreach { case (ptr, kw, msg) =>
+          sb.append(s"  - instanceLocation: ${q(ptr)}\n")
+          sb.append("    valid: false\n")
+          sb.append("    errors:\n")
+          sb.append(s"      ${kw}: ${q(msg)}\n")
+        }
+      }
+    }
+    sb.toString
   }
 
   /** JUnit XML — testsuite tests/failures counts like
-    * FilesOutputToJunit.java:30-31,58-63.
+    * FilesOutputToJunit.java:30-31,58-63; counts from the exact summary.
     */
-  def renderJunit(rows: Seq[VerdictRow]): String = {
-    val failures = rows.count(!_.valid)
+  def renderJunit(rows: Seq[VerdictRow], summary: RunSummary): String = {
     val cases = rows.map { r =>
       if (r.valid) s"""  <testcase name="${xmlEscape(r.doc_id)}"/>"""
       else {
@@ -90,7 +139,7 @@ object Reports {
       }
     }.mkString("\n")
     s"""<?xml version="1.0" encoding="UTF-8"?>
-       |<testsuite name="validation" tests="${rows.size}" failures="$failures">
+       |<testsuite name="validation" tests="${summary.docs}" failures="${summary.invalidDocs}">
        |$cases
        |</testsuite>""".stripMargin
   }
@@ -98,7 +147,7 @@ object Reports {
   /** SARIF 2.1.0 — run verdict via executionSuccessful like
     * FilesOutputToSarif.java:64-67.
     */
-  def renderSarif(rows: Seq[VerdictRow]): String = {
+  def renderSarif(rows: Seq[VerdictRow], summary: RunSummary): String = {
     val results = rows.flatMap { r =>
       r.violations.map { case (ptr, kw, msg) =>
         s"""{"ruleId":"${jsonEscape(kw)}","level":"error",""" +
@@ -110,17 +159,17 @@ object Reports {
     }.mkString("[", ",", "]")
     s"""{"version":"2.1.0","$$schema":"https://json.schemastore.org/sarif-2.1.0.json","runs":[{""" +
       s""""tool":{"driver":{"name":"graft-validator"}},""" +
-      s""""invocations":[{"executionSuccessful":${rows.forall(_.valid)}}],""" +
+      s""""invocations":[{"executionSuccessful":${summary.allValid}}],""" +
       s""""results":$results}]}"""
   }
 
   /** LLM-compact — header + flat error triples like
-    * FilesOutputToLlm.java:83-99 (`# v/n files valid, e errors`).
+    * FilesOutputToLlm.java:83-99 (`# v/n files valid, e errors`);
+    * header counts from the exact summary.
     */
-  def renderLlm(rows: Seq[VerdictRow]): String = {
-    val nValid = rows.count(_.valid)
-    val nErr = rows.map(_.violations.size).sum
-    val header = s"# $nValid/${rows.size} files valid, $nErr errors"
+  def renderLlm(rows: Seq[VerdictRow], summary: RunSummary): String = {
+    val header = s"# ${summary.validDocs}/${summary.docs} files valid, " +
+      s"${summary.violations} errors"
     val lines = rows.filterNot(_.valid).flatMap { r =>
       r.violations.map { case (ptr, kw, msg) =>
         s"${r.doc_id} $ptr $kw: $msg"
@@ -129,6 +178,8 @@ object Reports {
     (header +: lines).mkString("\n")
   }
 
-  /** Exit-code sink (reference K3): 0 iff all valid. */
-  def exitCode(rows: Seq[VerdictRow]): Int = if (rows.forall(_.valid)) 0 else 1
+  /** Exit-code sink (reference K3): 0 iff all valid — from the exact
+    * distributed count, never the collected slice.
+    */
+  def exitCode(summary: RunSummary): Int = if (summary.allValid) 0 else 1
 }

@@ -191,23 +191,54 @@ object Catalog {
       .toDF("doc_id", "path", "embedded_schema", "catalog_url")
   }
 
-  /** Full resolution precedence (YamlSchemaValidator.java:123-136):
-    * embedded `$schema` > catalog match > CLI default; no match and no
-    * default → the reference's exact error message.
+  /** (path, catalog_url) for a single-column `path` DataFrame — the
+    * generic entry the CLI uses (broadcast-joined back); same compiled
+    * broadcast + first-match loop as [[catalogMatch]].
     */
-  def resolve(paths: DataFrame, defaultSchema: Option[String]): DataFrame = {
+  def pathUrls(paths: DataFrame): DataFrame = {
+    val s = paths.sparkSession
+    import s.implicits._
+    catalogMatch(paths.distinct()
+        .select(lit(0L).as("doc_id"), col("path"),
+          lit(null).cast("string").as("embedded_schema")))
+      .select(col("path"), col("catalog_url"))
+  }
+
+  /** Full resolution precedence, EXACTLY as the reference implements it
+    * (YamlSchemaValidator.java:123-136): the CLI `--schema` value is the
+    * starting point; an in-document `$schema` REPLACES it unless
+    * `--schema-override` is set (YamlSchemaValidatorRunner.java config);
+    * catalog autodetection runs only when neither is present; nothing →
+    * the reference's exact error message. So the order is
+    * override > embedded > default > catalog — NOT embedded > catalog >
+    * default as SURVEY §1.3 paraphrased (the code is authoritative).
+    * When a default schema is given the catalog match is skipped
+    * entirely (no broadcast, no per-path regex work).
+    */
+  def resolve(paths: DataFrame, defaultSchema: Option[String],
+      schemaOverride: Boolean = false): DataFrame = {
     val default = defaultSchema.map(lit).getOrElse(lit(null).cast("string"))
-    catalogMatch(paths).select(
-      col("doc_id"), col("path"),
-      coalesce(col("embedded_schema"), col("catalog_url"), default)
-        .as("schema_url"),
-      when(col("embedded_schema").isNotNull, "embedded")
-        .when(col("catalog_url").isNotNull, "catalog")
-        .when(default.isNotNull, "default")
-        .otherwise("error").as("resolution"),
-      when(col("embedded_schema").isNull && col("catalog_url").isNull &&
-          default.isNull,
-        lit("No schema found in YAML file or provided as parameter"))
-        .otherwise(lit(null).cast("string")).as("error"))
+    val noSchema =
+      lit("No schema found in YAML file or provided as parameter")
+    if (schemaOverride && defaultSchema.isDefined)
+      paths.select(col("doc_id"), col("path"),
+        default.as("schema_url"), lit("override").as("resolution"),
+        lit(null).cast("string").as("error"))
+    else if (defaultSchema.isDefined)
+      paths.select(col("doc_id"), col("path"),
+        coalesce(col("embedded_schema"), default).as("schema_url"),
+        when(col("embedded_schema").isNotNull, "embedded")
+          .otherwise("default").as("resolution"),
+        lit(null).cast("string").as("error"))
+    else
+      catalogMatch(paths).select(
+        col("doc_id"), col("path"),
+        coalesce(col("embedded_schema"), col("catalog_url"))
+          .as("schema_url"),
+        when(col("embedded_schema").isNotNull, "embedded")
+          .when(col("catalog_url").isNotNull, "catalog")
+          .otherwise("error").as("resolution"),
+        when(col("embedded_schema").isNull && col("catalog_url").isNull,
+          noSchema).otherwise(lit(null).cast("string")).as("error"))
   }
 }

@@ -15,22 +15,49 @@ import org.apache.spark.sql.functions._
   * error rows, never aborts (`:100-109`, P4). Runs as a typed
   * mapPartitions pass — one ObjectMapper pair per partition, no
   * driver-side parsing.
+  *
+  * Each parsed doc also carries its in-document `$schema` (non-empty
+  * text only), with a non-HTTP value resolved against the DOCUMENT'S
+  * parent directory exactly like `getSchemaPathFromNode`
+  * (YamlSchemaValidator.java:279-291) — the first rung of the schema
+  * resolution precedence.
   */
 object YamlSource {
 
   final case class RawFile(path: String, text: String)
   final case class ParsedDoc(path: String, doc_key: String, json: String,
-      error: String)
+      embedded_schema: String, error: String)
 
   /** Read whole files into (path, text) rows — the distributed version of
     * the reference's readAllBytes (S1/S3; Spark parallelizes the
-    * sequential per-file loop).
+    * sequential per-file loop). `path` is normalized back to the
+    * USER-SUPPLIED path (input_file_name() returns a file:// URI, which
+    * would leak into doc keys — ADVICE r1).
     */
   def readFiles(spark: SparkSession, paths: Seq[String]): Dataset[RawFile] = {
     import spark.implicits._
+    // user path keyed by its absolute form, to translate URIs back
+    val byAbs = paths.map { p =>
+      java.nio.file.Paths.get(p).toAbsolutePath.normalize.toString -> p
+    }.toMap
+    val bc = spark.sparkContext.broadcast(byAbs)
     spark.read.option("wholetext", "true").text(paths: _*)
-      .select(input_file_name().as("path"), col("value").as("text"))
-      .as[RawFile]
+      .select(input_file_name().as("uri"), col("value").as("text"))
+      .as[(String, String)]
+      .map { case (uri, text) =>
+        val abs = java.net.URLDecoder.decode(
+          uri.stripPrefix("file:"), "UTF-8").replaceFirst("^/+", "/")
+        RawFile(bc.value.getOrElse(abs, abs), text)
+      }
+  }
+
+  /** One-row source for the stdin entry (S2): the reference reads
+    * System.in at most once, keyed "stdin"
+    * (YamlSchemaValidatorRunner.java:75-88).
+    */
+  def stdinSource(spark: SparkSession, text: String): Dataset[RawFile] = {
+    import spark.implicits._
+    Seq(RawFile("stdin", text)).toDS()
   }
 
   /** Parse each file into keyed JSON documents (as canonical JSON strings,
@@ -52,25 +79,40 @@ object YamlSource {
             }
           docs.filterNot(d => d == null || d.isNull) match {
             case Nil =>
-              List(ParsedDoc(f.path, f.path, null,
+              List(ParsedDoc(f.path, f.path, null, null,
                 "No schema found in YAML file or provided as parameter"))
             case single :: Nil =>
               List(ParsedDoc(f.path, f.path,
-                jsonMapper.writeValueAsString(single), null))
+                jsonMapper.writeValueAsString(single),
+                embeddedSchema(f.path, single), null))
             case many =>
               many.zipWithIndex.map { case (d, i) =>
                 ParsedDoc(f.path, s"${f.path}-${i + 1}",
-                  jsonMapper.writeValueAsString(d), null)
+                  jsonMapper.writeValueAsString(d),
+                  embeddedSchema(f.path, d), null)
               }
           }
         } catch {
           case e: Exception =>
             // parse failure → invalid row with message, run continues
             // (message class mirrors YamlSchemaValidatorTest.java:53)
-            List(ParsedDoc(f.path, f.path, null,
+            List(ParsedDoc(f.path, f.path, null, null,
               s"${e.getClass.getSimpleName}: ${e.getMessage}"))
         }
       }
     }
+  }
+
+  /** getSchemaPathFromNode parity (YamlSchemaValidator.java:279-291):
+    * non-empty `$schema` text; non-HTTP values resolve against the doc's
+    * parent directory via java.io.File exactly like the reference.
+    */
+  private def embeddedSchema(docPath: String, doc: JsonNode): String = {
+    val node = doc.get("$schema")
+    val text = if (node == null) null else node.textValue()
+    if (text == null || text.isEmpty) null
+    else if (text.startsWith("http://") || text.startsWith("https://")) text
+    else new java.io.File(
+      new java.io.File(docPath).getParentFile, text).getPath
   }
 }

@@ -17,6 +17,7 @@ class GoldenReportSpec extends SparkSpec {
       Seq(("/", "error",
         "No schema found in YAML file or provided as parameter"))),
     VerdictRow("multi3invalid.yaml-3", valid = true, Seq.empty))
+  private val summary = Reports.RunSummary(3, 2, 1, 1)
 
   test("TEXT golden") {
     assert(Reports.renderText(rows) ===
@@ -28,7 +29,7 @@ class GoldenReportSpec extends SparkSpec {
   }
 
   test("JSON golden") {
-    assert(Reports.renderJson(rows) ===
+    assert(Reports.renderJson(rows, summary) ===
       """{"valid":false,"documents":[""" +
         """{"doc":"multi3invalid.yaml-1","valid":true,"details":[]},""" +
         """{"doc":"multi3invalid.yaml-2","valid":false,"details":[""" +
@@ -47,24 +48,48 @@ class GoldenReportSpec extends SparkSpec {
         |  </testcase>
         |  <testcase name="multi3invalid.yaml-3"/>
         |</testsuite>""".stripMargin
-    assert(Reports.renderJunit(rows) === expected)
+    assert(Reports.renderJunit(rows, summary) === expected)
   }
 
   test("LLM golden") {
-    assert(Reports.renderLlm(rows) ===
+    assert(Reports.renderLlm(rows, summary) ===
       """# 2/3 files valid, 1 errors
         |multi3invalid.yaml-2 / error: No schema found in YAML file or provided as parameter""".stripMargin)
   }
 
+  test("YAML golden (reference render branch toYamlString)") {
+    assert(Reports.renderYaml(rows, summary) ===
+      """valid: false
+        |documents:
+        |- doc: "multi3invalid.yaml-1"
+        |  valid: true
+        |- doc: "multi3invalid.yaml-2"
+        |  valid: false
+        |  details:
+        |  - instanceLocation: "/"
+        |    valid: false
+        |    errors:
+        |      error: "No schema found in YAML file or provided as parameter"
+        |- doc: "multi3invalid.yaml-3"
+        |  valid: true
+        |""".stripMargin)
+    // well-formed YAML: parses back with the right shape
+    val yaml = new com.fasterxml.jackson.databind.ObjectMapper(
+      new com.fasterxml.jackson.dataformat.yaml.YAMLFactory())
+      .readTree(Reports.renderYaml(rows, summary))
+    assert(!yaml.get("valid").asBoolean())
+    assert(yaml.get("documents").size() === 3)
+  }
+
   test("SARIF carries verdict, version and one result") {
-    val sarif = Reports.renderSarif(rows)
+    val sarif = Reports.renderSarif(rows, summary)
     assert(sarif.contains(""""executionSuccessful":false"""))
     assert(sarif.contains(""""ruleId":"error""""))
     assert(sarif.contains("multi3invalid.yaml-2"))
   }
 
   test("exit codes: [T,F,T] → 1, [T,T,T] → 0 (reference K3)") {
-    assert(Reports.exitCode(rows) === 1)
-    assert(Reports.exitCode(rows.filter(_.valid)) === 0)
+    assert(Reports.exitCode(summary) === 1)
+    assert(Reports.exitCode(Reports.RunSummary(3, 3, 0, 0)) === 0)
   }
 }

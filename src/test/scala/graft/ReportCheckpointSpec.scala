@@ -18,6 +18,8 @@ class ReportCheckpointSpec extends SparkSpec {
     Reports.VerdictRow("a.yaml", valid = true, Seq.empty),
     Reports.VerdictRow("b.yaml", valid = false,
       Seq(("/spans/0/kind", "type", "integer found, boolean expected"))))
+  private val summary = Reports.RunSummary(2, 1, 1, 1)
+  private val allOk = Reports.RunSummary(1, 1, 0, 0)
 
   test("text report mirrors the reference per-doc shape") {
     val txt = Reports.renderText(rows)
@@ -26,12 +28,12 @@ class ReportCheckpointSpec extends SparkSpec {
         |b.yaml: invalid
         |  /spans/0/kind: type: integer found, boolean expected
         |""".stripMargin)
-    assert(Reports.exitCode(rows) === 1)
-    assert(Reports.exitCode(rows.take(1)) === 0)
+    assert(Reports.exitCode(summary) === 1)
+    assert(Reports.exitCode(allOk) === 0)
   }
 
   test("junit report counts tests and failures") {
-    val xml = Reports.renderJunit(rows)
+    val xml = Reports.renderJunit(rows, summary)
     assert(xml.contains("""tests="2" failures="1""""))
     assert(xml.contains("""<testcase name="a.yaml"/>"""))
     assert(xml.contains("integer found, boolean expected"))
@@ -39,12 +41,12 @@ class ReportCheckpointSpec extends SparkSpec {
   }
 
   test("json / sarif / llm reports carry the run verdict and counts") {
-    val json = Reports.renderJson(rows)
+    val json = Reports.renderJson(rows, summary)
     assert(json.startsWith("""{"valid":false"""))
-    val sarif = Reports.renderSarif(rows)
+    val sarif = Reports.renderSarif(rows, summary)
     assert(sarif.contains(""""executionSuccessful":false"""))
     assert(sarif.contains(""""version":"2.1.0""""))
-    val llm = Reports.renderLlm(rows)
+    val llm = Reports.renderLlm(rows, summary)
     assert(llm.startsWith("# 1/2 files valid, 1 errors"))
   }
 
@@ -57,11 +59,18 @@ class ReportCheckpointSpec extends SparkSpec {
       .select(col("doc_id"), explode(col("violations")).as("v"))
       .select(col("doc_id"), col("v.pointer").as("pointer"),
         col("v.keyword").as("keyword"), col("v.message").as("message"))
-    val gathered = Reports.gather(verdicts, violations)
+    val (gathered, gsum) = Reports.gather(verdicts, violations)
     assert(gathered.size === 500)
-    val llm = Reports.renderLlm(gathered)
-    assert(llm.startsWith(s"# ${gathered.count(_.valid)}/500 files valid"))
-    assert(Reports.exitCode(gathered) === 1)
+    assert(gsum.docs === 500 &&
+      gsum.validDocs === gathered.count(_.valid))
+    val llm = Reports.renderLlm(gathered, gsum)
+    assert(llm.startsWith(s"# ${gsum.validDocs}/500 files valid"))
+    assert(Reports.exitCode(gsum) === 1)
+    // bounded gather: the collected slice is capped but the summary
+    // counts stay exact (the r1 full-verdict collect is gone)
+    val (capped, csum) = Reports.gather(verdicts, violations, maxDocs = 7)
+    assert(capped.size === 7 && csum.docs === 500)
+    assert(csum === gsum)
   }
 
   test("checkpoint: interrupted run resumes and matches the cold run") {

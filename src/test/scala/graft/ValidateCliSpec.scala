@@ -89,6 +89,109 @@ class ValidateCliSpec extends SparkSpec {
       v._2 === "type" && v._3 === "integer found, string expected"))
   }
 
+  test("embedded $schema resolves relative to the doc's directory " +
+      "(YamlSchemaValidatorTest $schema-embedded valid case)") {
+    val d = Files.createTempDirectory("graft-emb")
+    Files.writeString(d.resolve("my-schema.json"),
+      """{"type":"object","required":["name"],
+        |"properties":{"name":{"type":"string"}}}"""
+        .stripMargin.replace("\n", ""))
+    Files.writeString(d.resolve("doc.yaml"),
+      "$schema: ./my-schema.json\nname: alice\n")
+    // no --schema: precedence rung 1 (embedded) must find the schema
+    val (rows, summary) = Validate.runFull(spark,
+      Seq(d.resolve("doc.yaml").toString), schema = None)
+    assert(summary.allValid, rows.toString)
+    // and the embedded schema is actually ENFORCED, not just resolved
+    Files.writeString(d.resolve("bad.yaml"),
+      "$schema: ./my-schema.json\nname: 42\n")
+    val (rows2, sum2) = Validate.runFull(spark,
+      Seq(d.resolve("bad.yaml").toString), schema = None)
+    assert(!sum2.allValid)
+    assert(rows2.flatMap(_.violations).exists(v =>
+      v._2 == "type" && v._3 == "integer found, string expected"))
+  }
+
+  test("embedded $schema beats --schema; --schema-override reverses it") {
+    val d = Files.createTempDirectory("graft-prec")
+    Files.writeString(d.resolve("strict.json"),
+      """{"type":"object","required":["zzz"],"properties":{}}""")
+    Files.writeString(d.resolve("lax.json"),
+      """{"type":"object","properties":{}}""")
+    Files.writeString(d.resolve("doc.yaml"),
+      "$schema: ./lax.json\nname: x\n")
+    val doc = d.resolve("doc.yaml").toString
+    // embedded (lax) wins over --schema (strict): valid
+    val (_, s1) = Validate.runFull(spark, Seq(doc),
+      schema = Some(d.resolve("strict.json").toString))
+    assert(s1.allValid)
+    // --schema-override: the CLI schema wins → required 'zzz' fails
+    val (r2, s2) = Validate.runFull(spark, Seq(doc),
+      schema = Some(d.resolve("strict.json").toString),
+      schemaOverride = true)
+    assert(!s2.allValid)
+    assert(r2.flatMap(_.violations).exists(_._2 == "required"))
+  }
+
+  test("multi3invalid through the real precedence: [T,F,T], doc 2 has " +
+      "no $schema (YamlSchemaValidatorTest.java:74-93)") {
+    val d = Files.createTempDirectory("graft-m3")
+    Files.writeString(d.resolve("sample-schema.json"),
+      """{"type":"object","properties":{"name":{"type":"string"}}}""")
+    Files.writeString(d.resolve("multi3invalid.yaml"),
+      """$schema: ./sample-schema.json
+        |name: a
+        |---
+        |name: b
+        |---
+        |$schema: ./sample-schema.json
+        |name: c
+        |""".stripMargin)
+    // NO --schema: docs 1/3 resolve via embedded $schema; doc 2 has
+    // nothing (catalog may or may not match the basename — either way
+    // it cannot produce a loadable schema here) → [T, F, T]
+    val (rows, summary) = Validate.runFull(spark,
+      Seq(d.resolve("multi3invalid.yaml").toString), schema = None)
+    assert(summary.docs === 3)
+    val vec = rows.sortBy(_.doc_id).map(_.valid)
+    assert(vec === Seq(true, false, true))
+  }
+
+  test("http $schema yields the 404-parity error (zero-egress stand-in)") {
+    val d = Files.createTempDirectory("graft-http")
+    Files.writeString(d.resolve("doc.yaml"),
+      "$schema: https://www.alexmond.org/missing.json\nname: x\n")
+    val (rows, summary) = Validate.runFull(spark,
+      Seq(d.resolve("doc.yaml").toString), schema = None)
+    assert(!summary.allValid)
+    assert(rows.head.violations.head._3 ===
+      "HTTP request failed with status code 404")
+  }
+
+  test("stdin entry: no files reads stdin once, keyed 'stdin' " +
+      "(YamlSchemaValidatorStdinTest.java:23-36)") {
+    val (rows, summary) = Validate.runFull(spark, Seq.empty,
+      schema = Some(schemaFile), stdinText = Some("name: stdin-doc\n"))
+    assert(summary.docs === 1 && summary.allValid)
+    assert(rows.head.doc_id === "stdin")
+  }
+
+  test("'-' mixes stdin with files and is removed from the file list") {
+    val f = tmpFile("also.yaml", "name: filedoc\n")
+    val (rows, summary) = Validate.runFull(spark, Seq("-", f),
+      schema = Some(schemaFile), stdinText = Some("name: 7\n"))
+    assert(summary.docs === 2)
+    val byId = rows.map(r => r.doc_id -> r.valid).toMap
+    assert(byId("stdin") === false) // name: 7 → type violation
+    assert(byId.find(_._1.contains("also.yaml")).get._2 === true)
+  }
+
+  test("doc keys use the user-supplied path, not a file:// URI (ADVICE)") {
+    val f = tmpFile("keyed.yaml", "name: x\n")
+    val (rows, _) = Validate.run(spark, Seq(f), schemaFile)
+    assert(rows.head.doc_id === f) // exact given path, no scheme prefix
+  }
+
   test("empty yaml doc yields the reference no-schema error (empty.yaml)") {
     val f = tmpFile("empty.yaml", "---\n")
     val parsed = YamlSource.parseDocs(
