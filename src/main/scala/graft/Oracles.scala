@@ -389,23 +389,48 @@ object Oracles {
        |SELECT qid, vec_id, sim, rank FROM ranked WHERE rank <= 3
        |ORDER BY qid, rank""".stripMargin
 
-  private val bucketExpr: String = (1 to 8).map(i =>
-    s"CASE WHEN embedding[$i] >= 0 THEN '1' ELSE '0' END")
-    .mkString("(", " || ", ")")
-  val knnLsh: String =
-    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe,
-       |    $bucketExpr AS bucket
-       |  FROM embeddings WHERE vec_id%50 = 0),
+  /** Mirrors Similarity.knnLsh: same deterministic sparse hyperplanes
+    * (the plane table is generated from Similarity.plane), same
+    * multi-probe bucket set, same exact-cosine re-rank.
+    */
+  val knnLsh: String = {
+    import graft.operators.Similarity.{planeCoefs, NumTables, SigBits, Dim}
+    val coefValues = (for {
+      t <- 0 until NumTables; j <- 0 until SigBits
+      (c, d0) <- planeCoefs(t, j).zipWithIndex
+    } yield s"($t,$j,${d0 + 1},$c)").mkString(",")
+    val probeValues = (0 +: (0 until SigBits).map(1 << _))
+      .map(m => s"($m)").mkString(", ")
+    s"""WITH coefs(t, j, d, c) AS (VALUES $coefValues),
+       |probes(m) AS (VALUES $probeValues),
+       |sigbits AS (
+       |  SELECT vec_id, t, j,
+       |    CASE WHEN SUM(CAST(embedding[d] AS DOUBLE) * c) >= 0
+       |      THEN (1 << j) ELSE 0 END AS bit
+       |  FROM embeddings, coefs GROUP BY vec_id, t, j),
+       |sig AS (
+       |  SELECT vec_id, t, CAST(SUM(bit) AS INTEGER) AS sig
+       |  FROM sigbits GROUP BY vec_id, t),
+       |q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+       |      WHERE vec_id%50 = 0),
+       |qprobe AS (
+       |  SELECT q.qid, s.t, CAST(xor(s.sig, p.m) AS INTEGER) AS sig
+       |  FROM q JOIN sig s ON s.vec_id = q.qid, probes p),
+       |cand AS (
+       |  SELECT DISTINCT qp.qid, s.vec_id
+       |  FROM qprobe qp JOIN sig s ON s.t = qp.t AND s.sig = qp.sig
+       |  WHERE s.vec_id <> qp.qid),
        |scored AS (
-       |  SELECT qid, e.vec_id, $cosineExpr AS sim
-       |  FROM (SELECT vec_id, embedding, $bucketExpr AS bucket
-       |        FROM embeddings) e
-       |  JOIN q USING (bucket) WHERE e.vec_id <> qid),
+       |  SELECT c.qid, c.vec_id, $cosineExpr AS sim
+       |  FROM cand c
+       |  JOIN q ON q.qid = c.qid
+       |  JOIN embeddings e ON e.vec_id = c.vec_id),
        |ranked AS (SELECT qid, vec_id, sim,
        |  CAST(ROW_NUMBER() OVER (PARTITION BY qid
        |    ORDER BY sim DESC, vec_id) AS INTEGER) AS rank FROM scored)
-       |SELECT qid, vec_id, sim, rank FROM ranked WHERE rank <= 1
-       |ORDER BY qid""".stripMargin
+       |SELECT qid, vec_id, sim, rank FROM ranked WHERE rank <= 3
+       |ORDER BY qid, rank""".stripMargin
+  }
 
   val mediaFeatures: String =
     """SELECT 'm'||CAST(x AS VARCHAR) AS media_ref,

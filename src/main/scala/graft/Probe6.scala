@@ -52,3 +52,25 @@ object Probe6 {
     spark.stop()
   }
 }
+
+object ProbeRecall {
+  def main(args: Array[String]): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.builder().master("local[8]")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    import graft.operators.Similarity
+    val dir = "/root/testdata/sf0.01"
+    val brute = Similarity.knnBrute(spark, dir, k = 3)
+      .select("qid", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val lsh = Similarity.knnLsh(spark, dir)
+      .select("qid", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val hits = brute.keys.toSeq.map(q =>
+      (brute(q) intersect lsh.getOrElse(q, Set.empty)).size).sum
+    val nCand = Similarity.knnLsh(spark, dir, k = 1000000).count()
+    println(s"[recall] recall@3=${hits.toDouble / 30} candidates=$nCand of 5000 max")
+    spark.stop()
+  }
+}

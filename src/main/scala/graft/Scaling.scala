@@ -61,3 +61,21 @@ object Scaling {
       s""""docs_per_sec_n32":${math.rint(thHi)},"sf":"$sfDir"}""")
   }
 }
+
+/** One parallelism level in its own JVM — the two-process spark-submit
+  * proxy (scripts/scaling-two-process.sh): each level gets a fresh JVM,
+  * its own heap, and (via taskset) ONLY its own cores, exactly like an
+  * N-core executor on a real cluster — the in-JVM alternation in
+  * [[Scaling]] hands the low-parallelism run all 32 hardware cores for
+  * GC/JIT, which a real 8-core node would not have. Prints one JSON line.
+  */
+object ScalingOne {
+  def main(args: Array[String]): Unit = {
+    val cpus = args(0).toInt
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val replicas = sys.env.getOrElse("SPARK_GRAFT_REPLICAS", "4000").toInt
+    val (n, sec) = Scaling.run(cpus, sfDir, replicas)
+    println(s"""{"cpus":$cpus,"docs":$n,"sec":$sec,""" +
+      s""""docs_per_sec":${math.rint(n / sec)}}""")
+  }
+}

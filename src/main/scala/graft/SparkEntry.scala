@@ -68,7 +68,7 @@ object SparkEntry {
     "d_tokens" -> (TextOps.tokenCounts _),
     "d_fingerprint" -> (TextOps.fingerprints _),
     "e_knn_brute" -> ((s, dir) => Similarity.knnBrute(s, dir)),
-    "e_knn_lsh" -> (Similarity.knnLsh _),
+    "e_knn_lsh" -> ((s, dir) => Similarity.knnLsh(s, dir)),
     "m_media_features" -> (Multimodal.mediaFeatures _),
     "m_doc_media" -> (Multimodal.docMediaProfile _),
 

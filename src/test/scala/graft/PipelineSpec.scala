@@ -56,18 +56,25 @@ class PipelineSpec extends SparkSpec {
     assert(lsh.count { case (_, _, h) => h >= 3 && h <= 5 } > 0)
   }
 
-  test("LSH ANN top-1 matches brute-force within the same bucket") {
-    val brute = Similarity.knnBrute(spark, dir, k = 3)
-      .select("qid", "vec_id", "sim")
-      .as[(Long, Long, Double)].collect()
-      .groupBy(_._1).view.mapValues(_.sortBy(-_._3)).toMap
-    val lsh = Similarity.knnLsh(spark, dir)
-      .select("qid", "vec_id", "sim").as[(Long, Long, Double)].collect()
-    assert(lsh.nonEmpty)
-    lsh.foreach { case (qid, vid, sim) =>
-      // the LSH result can never beat the brute-force top-1
-      assert(sim <= brute(qid).head._3 + 1e-9)
-    }
+  test("multi-probe LSH ANN: measured recall@3 vs brute force") {
+    val dir01 = "/root/testdata/sf0.01" // 500 vectors, 10 queries
+    val brute = Similarity.knnBrute(spark, dir01, k = 3)
+      .select("qid", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val lsh = Similarity.knnLsh(spark, dir01)
+      .select("qid", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // real recall measurement (the r1 assertion — "lsh sim <= brute top
+    // sim" — could not fail; VERDICT r1)
+    val hits = brute.keys.toSeq.map(q =>
+      (brute(q) intersect lsh.getOrElse(q, Set.empty)).size).sum
+    val total = brute.values.map(_.size).sum
+    val recall = hits.toDouble / total
+    assert(recall >= 0.60, s"recall@3 = $recall ($hits/$total)")
+    // and it is genuinely approximate: the candidate set must be a small
+    // fraction of the corpus, not a disguised brute force
+    val nCand = Similarity.knnLsh(spark, dir01, k = 1000000).count()
+    assert(nCand < 500L * 10 / 2, s"candidates $nCand")
   }
 
   test("multimodal decode stub runs per-partition over binary payloads") {
