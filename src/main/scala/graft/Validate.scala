@@ -143,22 +143,53 @@ object Validate {
     Reports.gather(verdicts, violations)
   }
 
+  /** Usage text — the reference's help gate
+    * (YamlSchemaValidatorRunner.java:128-146 printHelp).
+    */
+  val helpText: String =
+    """Usage: Validate [options] [<file1> <file2> ...]
+      |
+      |Note: If no files are provided, or if '-' is used as a filename,
+      |the tool reads from stdin.
+      |
+      |Options:
+      |  --help                    Show this help message
+      |  --schema <path>           Path to the JSON/YAML schema file
+      |  --schema-override         Use --schema instead of $schema from docs
+      |  --report <type>           text (default), json, yaml, junit, sarif, llm
+      |  --report-file <name>      Write report to file (default: stdout)
+      |  --color <true|false>      ANSI colors in text output (default: true)
+      |  --compact <true|false>    LLM report: compact lines vs JSON (default: true)
+      |""".stripMargin
+
   def main(args: Array[String]): Unit = {
     var schema: Option[String] = None
     var schemaOverride = false
     var format = "TEXT"
     var reportFile: Option[String] = None
+    var color = true
+    var compact = true
     val files = Seq.newBuilder[String]
     var i = 0
     while (i < args.length) {
       args(i) match {
+        case "--help" => println(helpText); sys.exit(0)
         case "--schema" => schema = Some(args(i + 1)); i += 1
         case "--schema-override" => schemaOverride = true
         case "--report" => format = args(i + 1).toUpperCase; i += 1
         case "--report-file" => reportFile = Some(args(i + 1)); i += 1
+        case "--color" => color = args(i + 1).toBoolean; i += 1
+        case "--compact" => compact = args(i + 1).toBoolean; i += 1
         case f => files += f
       }
       i += 1
+    }
+    // config gate (YamlSchemaValidatorRunner.validateConfig)
+    if (schemaOverride && schema.isEmpty) {
+      println("Configuration error:Schema path must be provided when " +
+        "schemaPathOverride is enabled")
+      println(helpText)
+      sys.exit(0)
     }
     val fileArgs = files.result()
     // stdin read at most once, only when it will be used
@@ -180,8 +211,10 @@ object Validate {
       case "YAML" => Reports.renderYaml(rows, summary)
       case "JUNIT" => Reports.renderJunit(rows, summary)
       case "SARIF" => Reports.renderSarif(rows, summary)
-      case "LLM" => Reports.renderLlm(rows, summary)
-      case _ => Reports.renderText(rows)
+      case "LLM" =>
+        if (compact) Reports.renderLlm(rows, summary)
+        else Reports.renderLlmJson(rows, summary)
+      case _ => Reports.renderText(rows, color)
     }
     reportFile match {
       case Some(p) => Files.writeString(Paths.get(p), report)

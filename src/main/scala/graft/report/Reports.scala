@@ -71,12 +71,19 @@ object Reports {
   }
 
   /** TEXT — mirrors the reference shape (testreport/invalidyaml.txt):
-    * one line per doc, indented keyword: message details.
+    * one line per doc, indented keyword: message details. `color` adds
+    * the ANSI verdicts of FilesOutput.toColoredString (CLI default on,
+    * like the reference's `--color`).
     */
-  def renderText(rows: Seq[VerdictRow]): String = {
+  def renderText(rows: Seq[VerdictRow], color: Boolean = false): String = {
+    val (green, red, reset) =
+      if (color) ("\u001b[32m", "\u001b[31m", "\u001b[0m")
+      else ("", "", "")
     val sb = new StringBuilder
     rows.foreach { r =>
-      sb.append(s"${r.doc_id}: ${if (r.valid) "valid" else "invalid"}\n")
+      val verdict =
+        if (r.valid) s"${green}valid$reset" else s"${red}invalid$reset"
+      sb.append(s"${r.doc_id}: $verdict\n")
       r.violations.foreach { case (ptr, kw, msg) =>
         sb.append(s"  $ptr: $kw: $msg\n")
       }
@@ -161,6 +168,26 @@ object Reports {
       s""""tool":{"driver":{"name":"graft-validator"}},""" +
       s""""invocations":[{"executionSuccessful":${summary.allValid}}],""" +
       s""""results":$results}]}"""
+  }
+
+  /** LLM structured (non-compact) form — FilesOutputToLlm.toJson
+    * (FilesOutputToLlm.java:40-68): `{"summary":{files,valid,invalid,
+    * errors},"results":[{file,valid,errors?}]}`; counts from the exact
+    * summary.
+    */
+  def renderLlmJson(rows: Seq[VerdictRow], summary: RunSummary): String = {
+    val results = rows.map { r =>
+      val errs =
+        if (r.violations.isEmpty) ""
+        else r.violations.map { case (ptr, kw, msg) =>
+          s"""{"pointer":"${jsonEscape(ptr)}","keyword":"${jsonEscape(kw)}",""" +
+            s""""message":"${jsonEscape(msg)}"}"""
+        }.mkString(""","errors":[""", ",", "]")
+      s"""{"file":"${jsonEscape(r.doc_id)}","valid":${r.valid}$errs}"""
+    }.mkString("[", ",", "]")
+    s"""{"summary":{"files":${summary.docs},"valid":${summary.validDocs},""" +
+      s""""invalid":${summary.invalidDocs},"errors":${summary.violations}},""" +
+      s""""results":$results}"""
   }
 
   /** LLM-compact — header + flat error triples like

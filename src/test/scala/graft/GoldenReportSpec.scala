@@ -81,6 +81,25 @@ class GoldenReportSpec extends SparkSpec {
     assert(yaml.get("documents").size() === 3)
   }
 
+  test("colored TEXT wraps verdicts in ANSI (FilesOutput.toColoredString)") {
+    val colored = Reports.renderText(rows, color = true)
+    assert(colored.contains("[32mvalid[0m"))
+    assert(colored.contains("[31minvalid[0m"))
+    // plain form stays byte-identical to the golden
+    assert(!Reports.renderText(rows).contains(""))
+  }
+
+  test("LLM structured form (compact=false, FilesOutputToLlm.toJson)") {
+    val json = Reports.renderLlmJson(rows, summary)
+    assert(json.startsWith(
+      """{"summary":{"files":3,"valid":2,"invalid":1,"errors":1},"""))
+    assert(json.contains(
+      """{"file":"multi3invalid.yaml-2","valid":false,"errors":["""))
+    assert(json.contains(""""keyword":"error""""))
+    // valid docs carry no errors key (reference omits empty lists)
+    assert(json.contains("""{"file":"multi3invalid.yaml-1","valid":true}"""))
+  }
+
   test("SARIF carries verdict, version and one result") {
     val sarif = Reports.renderSarif(rows, summary)
     assert(sarif.contains(""""executionSuccessful":false"""))

@@ -69,6 +69,33 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("schema-compiler plan: one parse, no inferred-filter duplication") {
+    // the staged withViolations path must parse the JSON exactly once per
+    // row, and InferFiltersFromGenerate must stay excluded — it would
+    // inline the whole violations tree into a scan-level filter and run
+    // the schema eval 2-3x per row (BENCH.md round-2 note 5)
+    val plan = physical(
+      SparkEntry.queries("v_json_schema")(spark, "/root/testdata/sf0.001"))
+    val parses = "parseJson|parse_json".r.findAllIn(plan).length
+    assert(parses === 1, s"parse_json occurrences: $parses\n$plan")
+    assert(!plan.contains("Filter (size("), plan.take(500))
+  }
+
+  test("bench plans drop a trailing global sort; semantic sorts survive") {
+    val q14 = physical(
+      SparkEntry.benchQueries("q14_parse_json")(spark, dir))
+    assert(!q14.contains("Sort "), q14.take(400))
+    // q8's sort+limit is the semantics: still TakeOrderedAndProject
+    val q8 = physical(SparkEntry.benchQueries("q8_sort_limit")(spark, dir))
+    assert(q8.contains("TakeOrderedAndProject"), q8.take(400))
+  }
+
+  test("catalog routing is shuffle-free (broadcast patterns, no exchange)") {
+    val plan = physical(graft.rules.Catalog.catalogMatch(
+      graft.rules.Catalog.docPaths(spark, dir)))
+    assert(!plan.contains("Exchange"), plan.take(600))
+  }
+
   test("partial aggregation happens map-side before the shuffle") {
     val p = physical(
       Tables.lineitem(spark, dir).groupBy(col("l_returnflag"))
