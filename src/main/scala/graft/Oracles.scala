@@ -432,6 +432,28 @@ object Oracles {
        |ORDER BY qid, rank""".stripMargin
   }
 
+  /** Mirrors Similarity.cosineDups: same perturbed corpus (×0.5 on the
+    * first 8 dims is exact in binary), same double-precision cosine,
+    * rounded to 4 before the threshold.
+    */
+  val cosineDups: String =
+    """WITH base AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      |pert AS (
+      |  SELECT vec_id + 100000 AS vec_id,
+      |    list_transform(generate_series(1, len(e)),
+      |      i -> CASE WHEN i <= 8 THEN e[i]*0.5 ELSE e[i] END) AS e
+      |  FROM base WHERE vec_id%40 = 0),
+      |corpus AS (SELECT * FROM base UNION ALL SELECT * FROM pert),
+      |pairs AS (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |    ROUND(list_dot_product(a.e, b.e) /
+      |      (sqrt(list_dot_product(a.e, a.e)) *
+      |       sqrt(list_dot_product(b.e, b.e))), 4) AS sim
+      |  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id)
+      |SELECT id_a, id_b, sim FROM pairs WHERE sim >= 0.9
+      |ORDER BY id_a, id_b""".stripMargin
+
   val mediaFeatures: String =
     """SELECT 'm'||CAST(x AS VARCHAR) AS media_ref,
       |  CAST(16 AS INTEGER) AS n_bytes,

@@ -74,3 +74,18 @@ object ProbeRecall {
     spark.stop()
   }
 }
+
+object ProbeCosine {
+  def main(args: Array[String]): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = "/root/testdata/sf0.1"
+    def lsh = graft.operators.Similarity.cosineDupsLsh(spark, dir)
+    Bench.exec(lsh)
+    val t = (1 to 2).map(_ => Bench.time(Bench.exec(lsh))).min
+    println(f"[cosine] lsh_sf01=$t%.2f rows=${lsh.count()}")
+    spark.stop()
+  }
+}

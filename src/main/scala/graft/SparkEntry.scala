@@ -68,6 +68,9 @@ object SparkEntry {
     "d_tokens" -> (TextOps.tokenCounts _),
     "d_fingerprint" -> (TextOps.fingerprints _),
     "e_knn_brute" -> ((s, dir) => Similarity.knnBrute(s, dir)),
+    // gated on the LSH scale path; the oracle is the independent exact
+    // all-pairs SQL (same pattern as d_minhash_pairs vs d_jaccard_pairs)
+    "e_cosine_dups" -> ((s, dir) => Similarity.cosineDupsLsh(s, dir)),
     "e_knn_lsh" -> ((s, dir) => Similarity.knnLsh(s, dir)),
     "m_media_features" -> (Multimodal.mediaFeatures _),
     "m_doc_media" -> (Multimodal.docMediaProfile _),
@@ -241,6 +244,7 @@ object SparkEntry {
     "d_tokens" -> Oracles.tokenCounts,
     "d_fingerprint" -> Oracles.fingerprints,
     "e_knn_brute" -> Oracles.knnBrute,
+    "e_cosine_dups" -> Oracles.cosineDups,
     "e_knn_lsh" -> Oracles.knnLsh,
     "m_media_features" -> Oracles.mediaFeatures,
     "m_doc_media" -> Oracles.docMediaProfile,

@@ -91,6 +91,86 @@ object Similarity {
       when(proj >= 0, lit(1 << j)).otherwise(lit(0))
     }.reduce(_ + _)
 
+  /** Embedding near-dup fixture corpus: embeddings (as double arrays) ∪
+    * perturbed duplicates — vec_id%40==0 re-keyed +100_000 with the
+    * first 8 of 64 dims halved (cosine ≈ 0.97-0.99 to the original;
+    * factor 0.5 is exact in binary, so DuckDB mirrors it bit-for-bit).
+    */
+  def dupCorpus(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.embeddings(s, dir).select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("e"))
+    val pert = Tables.embeddings(s, dir).filter(col("vec_id") % 40 === 0)
+      .select((col("vec_id") + 100000L).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          when(i < 8, x.cast("double") * 0.5)
+            .otherwise(x.cast("double"))).as("e"))
+    base.unionAll(pert)
+  }
+
+  /** Exact embedding-cosine near-dup pairs (threshold 0.9): all-pairs
+    * cosine — QUADRATIC BY DESIGN, kept as the oracle baseline for the
+    * LSH-bucketed scale path [[cosineDupsLsh]] (same pattern as
+    * d_jaccard_pairs vs d_minhash_pairs).
+    */
+  def cosineDups(s: SparkSession, dir: String,
+      threshold: Double = 0.9): DataFrame = {
+    val c = dupCorpus(s, dir)
+    c.as("a").join(c.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        round(cosine(col("a.e"), col("b.e")), 4).as("sim"))
+      .filter(col("sim") >= threshold)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Near-dup LSH parameterization: dup detection targets cosine ≥ 0.9
+    * (tiny angles), so it uses WIDE 16-bit signatures (tiny buckets — an
+    * 8-bit table over 5k+ vectors collides ~20 random vectors per bucket
+    * and the pair join blows up; measured 22 s vs 2 s at sf0.1) across 6
+    * fresh tables, with one-sided Hamming-1 probing (17 probe keys on
+    * one side only; both-sided probing squares the bucket population).
+    */
+  val DupTables = 6
+  val DupBits = 16
+
+  private def dupSignature(e: Column, t: Int): Column =
+    (0 until DupBits).map { j =>
+      // table index offset keeps these planes disjoint from the knn set
+      val coefs = array(planeCoefs(100 + t, j).map(c => lit(c.toDouble)): _*)
+      val proj = aggregate(
+        zip_with(e, coefs, (x, c) => x.cast("double") * c),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, lit(1 << j)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** Scale path: LSH-bucketed cosine near-dup pairs — candidates share a
+    * 16-bit signature (within Hamming 1, probed one-sided) in any of the
+    * 6 tables, then exact cosine verifies. Shuffle volume is vectors ×
+    * small int keys, never all-pairs. Equality with [[cosineDups]] on
+    * the fixtures is asserted in PipelineSpec.
+    */
+  def cosineDupsLsh(s: SparkSession, dir: String,
+      threshold: Double = 0.9): DataFrame = {
+    val c = dupCorpus(s, dir)
+    val keyed = c.select(col("vec_id"), col("e"),
+      posexplode(array((0 until DupTables).map(t =>
+        dupSignature(col("e"), t)): _*)).as(Seq("tbl", "sig")))
+    val probeMasks = 0 +: (0 until DupBits).map(1 << _)
+    val probed = keyed.select(col("vec_id"), col("e"), col("tbl"),
+      explode(array(probeMasks.map(m =>
+        col("sig").bitwiseXOR(lit(m))): _*)).as("sig"))
+    val cand = probed.as("a")
+      .join(keyed.as("b"), col("a.tbl") === col("b.tbl") &&
+        col("a.sig") === col("b.sig") &&
+        col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        col("a.e").as("ea"), col("b.e").as("eb"))
+      .dropDuplicates("id_a", "id_b")
+    cand.select(col("id_a"), col("id_b"),
+        round(cosine(col("ea"), col("eb")), 4).as("sim"))
+      .filter(col("sim") >= threshold)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** ANN via multi-table, multi-probe sign-LSH: corpus emits one (table,
     * sig) key per table; each query probes its bucket plus all Hamming-1
     * neighbours; distinct candidates get the exact cosine re-rank, top-3

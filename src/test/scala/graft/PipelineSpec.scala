@@ -77,6 +77,19 @@ class PipelineSpec extends SparkSpec {
     assert(nCand < 500L * 10 / 2, s"candidates $nCand")
   }
 
+  test("embedding-cosine near-dup: LSH-bucketed path equals the exact " +
+      "baseline on the fixtures") {
+    val dir01 = "/root/testdata/sf0.01"
+    val brute = Similarity.cosineDups(spark, dir01)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // the injected perturbed pairs must be found
+    assert(brute.count { case (a, b) => b == a + 100000L } === 13)
+    val lsh = Similarity.cosineDupsLsh(spark, dir01)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(lsh === brute, s"missed ${brute.diff(lsh)}, " +
+      s"spurious ${lsh.diff(brute)}")
+  }
+
   test("multimodal decode stub runs per-partition over binary payloads") {
     val feats = Multimodal.decodeFeatures(Multimodal.mediaTable(spark, dir))
     val rows = feats.collect()
