@@ -49,6 +49,13 @@ import org.apache.spark.sql.functions._
   */
 object JsonSchemaCompiler {
 
+  /** Schema uses a `$ref` form the compiler cannot resolve (remote /
+    * relative / non-fragment). Thrown at compile time; the CLI catches it
+    * and emits a per-document error row.
+    */
+  final class UnsupportedRefException(msg: String)
+      extends IllegalArgumentException(msg)
+
   private val mapper = new ObjectMapper()
 
   val ViolationType =
@@ -146,10 +153,12 @@ object JsonSchemaCompiler {
       val env: Env = e => extIndex.get(e)
         .map(i => col(s"__x$i"))
         .getOrElse(directExpr(col("__v"), e))
-      // stage 3: all checks over the extracted columns. The wide
-      // violations tree goes behind an InterpretedBarrier so a downstream
-      // Generate (explode) fused by whole-stage codegen stays under
-      // HotSpot's JIT method limit (see InterpretedBarrier Scaladoc).
+      // stage 3: all checks over the extracted columns, in one plain
+      // select. The staged aliases keep each extraction evaluated once
+      // (CollapseProject does not re-inline multi-referenced non-cheap
+      // aliases — Probe6); very wide schemas could still push the fused
+      // codegen method past HotSpot's JIT limit (BENCH.md code-cache
+      // note) — if that surfaces, split stage 3 into chunked selects.
       s2.select(keep.map(col) :+ violationsEnv(env).as(out): _*)
     }
   }
@@ -161,6 +170,12 @@ object JsonSchemaCompiler {
     */
   def compile(schemaJson: String, maxRefDepth: Int = 3): CompiledSchema = {
     val root = mapper.readTree(schemaJson)
+    // NetworkNT prefixes schemaLocation with the schema's base URI when
+    // an `$id` is declared (golden invalidyaml.json: "urn:example:10#/
+    // properties/..."); without one, locations stay bare "#/..." (all
+    // engine-internal schemas).
+    val idPrefix =
+      if (root.has("$id")) root.get("$id").asText() else ""
     val checks = Seq.newBuilder[Check]
     val exts = scala.collection.mutable.LinkedHashSet.empty[Ext]
     def ext(p: String, mode: String): Ext = {
@@ -169,8 +184,13 @@ object JsonSchemaCompiler {
 
     def resolveRef(node: JsonNode): JsonNode = {
       val ref = node.get("$ref").asText()
-      require(ref.startsWith("#/"),
-        s"only intra-document refs supported: $ref")
+      // non-local refs surface as a schema-load failure, which the CLI
+      // turns into a per-doc error row (error-as-data, like the
+      // reference's schema-load catch) rather than a driver crash
+      if (!ref.startsWith("#/"))
+        throw new UnsupportedRefException(
+          s"Reference $ref cannot be resolved: only intra-document " +
+            "'#/' refs are supported")
       ref.stripPrefix("#/").split('/')
         .foldLeft(root)((n, seg) => n.get(seg))
     }
@@ -306,7 +326,8 @@ object JsonSchemaCompiler {
       val nextRefDepth = if (node0.has("$ref")) refDepth + 1 else refDepth
       val p = path(segs)
       val ptr = if (segs.isEmpty) "/" else pointer(segs)
-      val loc = "#/" + segs.flatMap(s => Seq("properties", s)).mkString("/")
+      val loc = idPrefix + "#/" +
+        segs.flatMap(s => Seq("properties", s)).mkString("/")
       val vX = ext(p, "variant")
       def present(env: Env): Column = env(vX).isNotNull
 

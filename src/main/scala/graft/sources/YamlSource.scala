@@ -79,8 +79,9 @@ object YamlSource {
             }
           docs.filterNot(d => d == null || d.isNull) match {
             case Nil =>
+              // reference parity: YamlSchemaValidator.java:106
               List(ParsedDoc(f.path, f.path, null, null,
-                "No schema found in YAML file or provided as parameter"))
+                "No Nodes found in YAML file"))
             case single :: Nil =>
               List(ParsedDoc(f.path, f.path,
                 jsonMapper.writeValueAsString(single),

@@ -1,96 +1,115 @@
 package graft
 
-import graft.report.Reports
-import graft.report.Reports.VerdictRow
+import java.nio.file.{Files, Paths}
 
-/** Golden-string report tests mirroring the reference's golden-file
-  * strategy (YamlSchemaValidatorRunnerTest.java:200-236): render the
-  * multi3invalid-shaped fixture ([T,F,T] vector, FIXTURES.md) in every
-  * format and diff against pinned expected output.
+import graft.report.Reports
+import graft.report.Reports.{Detail, VerdictRow}
+
+/** Report parity against COPIES of the reference's OWN golden files
+  * (src/test/resources/testreport, copied verbatim from the reference's
+  * testreport directory): run the real CLI pipeline on copies of the
+  * reference's input fixtures and diff every format. Comparison mirrors
+  * the reference's XmlCompareUtil: TEXT/YAML byte-exact, JSON/JUNIT/SARIF
+  * line-trimmed with XML attributes sorted and SARIF timestamps
+  * normalized (XmlCompareUtil.java:23-40,103-137).
+  *
+  * The reference generated these goldens with auto-detect OFF (its test
+  * application.properties:4), so the pipeline runs with autoDetect=false
+  * and resolves schemas purely via the embedded `$schema` rung.
   */
 class GoldenReportSpec extends SparkSpec {
 
-  // multi3invalid re-expression: doc 2 lacks a resolvable schema
-  private val rows = Seq(
-    VerdictRow("multi3invalid.yaml-1", valid = true, Seq.empty),
+  private val testdata = "src/test/resources/testdata/"
+  private val goldens = "src/test/resources/testreport/"
+
+  // --- XmlCompareUtil re-expression -----------------------------------
+  private def normTimestamps(s: String): String = s
+    .replaceAll("\"startTimeUtc\"\\s*:\\s*\"[^\"]*\"", "\"startTimeUtc\":\"\"")
+    .replaceAll("\"endTimeUtc\"\\s*:\\s*\"[^\"]*\"", "\"endTimeUtc\":\"\"")
+
+  private def normLine(line: String): String = {
+    val t = line.trim
+    if (!t.startsWith("<") || !t.contains("=")) return t
+    val firstSpace = t.indexOf(' ')
+    val firstClose = t.indexOf('>')
+    if (firstSpace == -1 || firstClose == -1 || firstSpace > firstClose)
+      return t
+    val attrs = t.substring(firstSpace + 1, firstClose).trim
+      .split("\\s+(?=\\w+=)").sorted
+    t.substring(0, firstSpace) + " " + attrs.mkString(" ") +
+      t.substring(firstClose)
+  }
+
+  private def normStructured(s: String): String =
+    s.split("\n").map(normLine).mkString("\n")
+
+  private def assertGolden(actual: String, goldenFile: String): Unit = {
+    val golden = Files.readString(Paths.get(goldens + goldenFile))
+    val (a, g) =
+      if (goldenFile.endsWith(".xml") || goldenFile.endsWith(".json") ||
+          goldenFile.endsWith(".sarif"))
+        (normStructured(normTimestamps(actual)),
+          normStructured(normTimestamps(golden)))
+      else (actual, golden) // TEXT/YAML: byte-exact, like compareFiles
+    assert(a === g, s"\n--- $goldenFile mismatch ---\n$actual\n---")
+  }
+
+  private def pipeline(file: String) =
+    Validate.runFull(spark, Seq(testdata + file), schema = None,
+      autoDetect = false)
+
+  for ((file, base, ok) <- Seq(
+      ("valid.yaml", "validyaml", true),
+      ("invalid.yaml", "invalidyaml", false),
+      ("multi3invalid.yaml", "multi3invalidyaml", false))) {
+    test(s"reference-golden parity: $file × TEXT/JSON/YAML/JUNIT/SARIF") {
+      val (rows, summary) = pipeline(file)
+      assert(summary.allValid === ok)
+      assertGolden(Reports.renderText(rows, summary), s"$base.txt")
+      assertGolden(Reports.renderJson(rows, summary), s"$base.json")
+      assertGolden(Reports.renderYaml(rows, summary), s"$base.yaml")
+      assertGolden(Reports.renderJunit(rows, summary), s"$base.xml")
+      assertGolden(Reports.renderSarif(rows, summary), s"$base.sarif")
+    }
+  }
+
+  // --- renderer unit shapes (no Spark) ---------------------------------
+  private val errRows = Seq(
+    VerdictRow("multi3invalid.yaml-1", valid = true),
     VerdictRow("multi3invalid.yaml-2", valid = false,
-      Seq(("/", "error",
-        "No schema found in YAML file or provided as parameter"))),
-    VerdictRow("multi3invalid.yaml-3", valid = true, Seq.empty))
-  private val summary = Reports.RunSummary(3, 2, 1, 1)
+      errors = Seq("error" ->
+        "No schema found in YAML file or provided as parameter")),
+    VerdictRow("multi3invalid.yaml-3", valid = true))
+  private val errSummary = Reports.RunSummary(3, 2, 1, 1)
 
-  test("TEXT golden") {
-    assert(Reports.renderText(rows) ===
-      """multi3invalid.yaml-1: valid
-        |multi3invalid.yaml-2: invalid
-        |  /: error: No schema found in YAML file or provided as parameter
-        |multi3invalid.yaml-3: valid
-        |""".stripMargin)
+  test("JUnit failure categorization (extractFailureMessage parity)") {
+    val junit = Reports.renderJunit(errRows, errSummary)
+    assert(junit.contains("""<failure message="No Schema Error">""" +
+      "No schema found in YAML file or provided as parameter</failure>"))
+    val yamlErr = VerdictRow("bad.yaml", valid = false,
+      errors = Seq("error" -> "MarkedYAMLException: mapping values"))
+    assert(Reports.renderJunit(Seq(yamlErr), Reports.RunSummary(1, 0, 1, 1))
+      .contains("""<failure message="YAML Parse Error">"""))
+    val other = VerdictRow("odd.yaml", valid = false,
+      errors = Seq("error" -> "HTTP request failed with status code 404"))
+    assert(Reports.renderJunit(Seq(other), Reports.RunSummary(1, 0, 1, 1))
+      .contains("""<failure message="Validation Error">"""))
+    val detail = VerdictRow("d.yaml", valid = false, details = Seq(
+      Detail("/properties/k", "#/properties/k", "/k",
+        Seq("type" -> "integer found, boolean expected"))))
+    assert(Reports.renderJunit(Seq(detail), Reports.RunSummary(1, 0, 1, 1))
+      .contains("""<failure message="Type Mismatch at /k">"""))
   }
 
-  test("JSON golden") {
-    assert(Reports.renderJson(rows, summary) ===
-      """{"valid":false,"documents":[""" +
-        """{"doc":"multi3invalid.yaml-1","valid":true,"details":[]},""" +
-        """{"doc":"multi3invalid.yaml-2","valid":false,"details":[""" +
-        """{"instanceLocation":"/","valid":false,"errors":{"error":""" +
-        """"No schema found in YAML file or provided as parameter"}}]},""" +
-        """{"doc":"multi3invalid.yaml-3","valid":true,"details":[]}]}""")
-  }
-
-  test("JUnit golden") {
-    val expected =
-      """<?xml version="1.0" encoding="UTF-8"?>
-        |<testsuite name="validation" tests="3" failures="1">
-        |  <testcase name="multi3invalid.yaml-1"/>
-        |  <testcase name="multi3invalid.yaml-2">
-        |    <failure message="/: error: No schema found in YAML file or provided as parameter"/>
-        |  </testcase>
-        |  <testcase name="multi3invalid.yaml-3"/>
-        |</testsuite>""".stripMargin
-    assert(Reports.renderJunit(rows, summary) === expected)
-  }
-
-  test("LLM golden") {
-    assert(Reports.renderLlm(rows, summary) ===
-      """# 2/3 files valid, 1 errors
-        |multi3invalid.yaml-2 / error: No schema found in YAML file or provided as parameter""".stripMargin)
-  }
-
-  test("YAML golden (reference render branch toYamlString)") {
-    assert(Reports.renderYaml(rows, summary) ===
-      """valid: false
-        |documents:
-        |- doc: "multi3invalid.yaml-1"
-        |  valid: true
-        |- doc: "multi3invalid.yaml-2"
-        |  valid: false
-        |  details:
-        |  - instanceLocation: "/"
-        |    valid: false
-        |    errors:
-        |      error: "No schema found in YAML file or provided as parameter"
-        |- doc: "multi3invalid.yaml-3"
-        |  valid: true
-        |""".stripMargin)
-    // well-formed YAML: parses back with the right shape
-    val yaml = new com.fasterxml.jackson.databind.ObjectMapper(
-      new com.fasterxml.jackson.dataformat.yaml.YAMLFactory())
-      .readTree(Reports.renderYaml(rows, summary))
-    assert(!yaml.get("valid").asBoolean())
-    assert(yaml.get("documents").size() === 3)
-  }
-
-  test("colored TEXT wraps verdicts in ANSI (FilesOutput.toColoredString)") {
-    val colored = Reports.renderText(rows, color = true)
-    assert(colored.contains("[32mvalid[0m"))
-    assert(colored.contains("[31minvalid[0m"))
-    // plain form stays byte-identical to the golden
-    assert(!Reports.renderText(rows).contains(""))
+  test("colored TEXT wraps verdicts in Spring ANSI GREEN/RED→DEFAULT") {
+    val colored = Reports.renderText(errRows, errSummary, color = true)
+    assert(colored.contains("\u001b[32mok\u001b[39m"))
+    assert(colored.contains("\u001b[31minvalid\u001b[39m"))
+    assert(colored.startsWith("Validation Result: \u001b[31minvalid"))
   }
 
   test("LLM structured form (compact=false, FilesOutputToLlm.toJson)") {
-    val json = Reports.renderLlmJson(rows, summary)
+    val json = Reports.renderLlmJson(errRows, errSummary)
     assert(json.startsWith(
       """{"summary":{"files":3,"valid":2,"invalid":1,"errors":1},"""))
     assert(json.contains(
@@ -100,15 +119,14 @@ class GoldenReportSpec extends SparkSpec {
     assert(json.contains("""{"file":"multi3invalid.yaml-1","valid":true}"""))
   }
 
-  test("SARIF carries verdict, version and one result") {
-    val sarif = Reports.renderSarif(rows, summary)
-    assert(sarif.contains(""""executionSuccessful":false"""))
-    assert(sarif.contains(""""ruleId":"error""""))
-    assert(sarif.contains("multi3invalid.yaml-2"))
+  test("LLM compact header + flat triples") {
+    assert(Reports.renderLlm(errRows, errSummary) ===
+      """# 2/3 files valid, 1 errors
+        |multi3invalid.yaml-2 / error: No schema found in YAML file or provided as parameter""".stripMargin)
   }
 
   test("exit codes: [T,F,T] → 1, [T,T,T] → 0 (reference K3)") {
-    assert(Reports.exitCode(summary) === 1)
+    assert(Reports.exitCode(errSummary) === 1)
     assert(Reports.exitCode(Reports.RunSummary(3, 3, 0, 0)) === 0)
   }
 }

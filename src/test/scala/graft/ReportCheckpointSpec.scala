@@ -15,18 +15,24 @@ class ReportCheckpointSpec extends SparkSpec {
 
   private val clean = Seq(Span("text", "hi", null, 0))
   private val rows = Seq(
-    Reports.VerdictRow("a.yaml", valid = true, Seq.empty),
-    Reports.VerdictRow("b.yaml", valid = false,
-      Seq(("/spans/0/kind", "type", "integer found, boolean expected"))))
+    Reports.VerdictRow("a.yaml", valid = true),
+    Reports.VerdictRow("b.yaml", valid = false, details = Seq(
+      Reports.Detail("/properties/spans", "#/properties/spans",
+        "/spans/0/kind",
+        Seq("type" -> "integer found, boolean expected")))))
   private val summary = Reports.RunSummary(2, 1, 1, 1)
   private val allOk = Reports.RunSummary(1, 1, 0, 0)
 
   test("text report mirrors the reference per-doc shape") {
-    val txt = Reports.renderText(rows)
+    val txt = Reports.renderText(rows, summary)
     assert(txt ===
-      """a.yaml: valid
+      """Validation Result: invalid
+        |a.yaml: ok
         |b.yaml: invalid
-        |  /spans/0/kind: type: integer found, boolean expected
+        | Details:
+        | Path: /spans/0/kind
+        | Schema: #/properties/spans
+        | type: integer found, boolean expected
         |""".stripMargin)
     assert(Reports.exitCode(summary) === 1)
     assert(Reports.exitCode(allOk) === 0)
@@ -34,18 +40,20 @@ class ReportCheckpointSpec extends SparkSpec {
 
   test("junit report counts tests and failures") {
     val xml = Reports.renderJunit(rows, summary)
-    assert(xml.contains("""tests="2" failures="1""""))
-    assert(xml.contains("""<testcase name="a.yaml"/>"""))
+    assert(xml.contains("""failures="1""""))
+    assert(xml.contains("""tests="2""""))
+    assert(xml.contains(
+      """<testcase classname="files" name="a.yaml" time="0.0"/>"""))
     assert(xml.contains("integer found, boolean expected"))
     assert(scala.xml.XML.loadString(xml) != null) // well-formed
   }
 
   test("json / sarif / llm reports carry the run verdict and counts") {
     val json = Reports.renderJson(rows, summary)
-    assert(json.startsWith("""{"valid":false"""))
+    assert(json.contains("\"valid\" : false"))
     val sarif = Reports.renderSarif(rows, summary)
-    assert(sarif.contains(""""executionSuccessful":false"""))
-    assert(sarif.contains(""""version":"2.1.0""""))
+    assert(sarif.contains("\"executionSuccessful\" : false"))
+    assert(sarif.contains("\"version\" : \"2.1.0\""))
     val llm = Reports.renderLlm(rows, summary)
     assert(llm.startsWith("# 1/2 files valid, 1 errors"))
   }

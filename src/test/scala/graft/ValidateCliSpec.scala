@@ -34,8 +34,9 @@ class ValidateCliSpec extends SparkSpec {
     val f = tmpFile("invalid.yaml", "name: bob\nflag: 123\n")
     val (rows, exit) = Validate.run(spark, Seq(f), schemaFile)
     assert(exit === 1)
-    assert(rows.head.violations ===
-      Seq(("/flag", "type", "integer found, boolean expected")))
+    val d = rows.head.details.head
+    assert(d.instanceLocation === "/flag")
+    assert(d.errors === Seq("type" -> "integer found, boolean expected"))
   }
 
   test("multi-doc yaml explodes keyed path-1..3 with vector [T,F,T]") {
@@ -69,9 +70,9 @@ class ValidateCliSpec extends SparkSpec {
     assert(exit === 1 && rows.size === 2)
     val badRow = rows.find(_.doc_id.contains("badformat")).get
     assert(!badRow.valid)
-    assert(badRow.violations.head._2 === "error")
-    assert(badRow.violations.head._3.contains("Exception") ||
-      badRow.violations.head._3.contains("No schema found"))
+    assert(badRow.errors.head._1 === "error")
+    assert(badRow.errors.head._2.contains("Exception") ||
+      badRow.errors.head._2.contains("No schema found"))
     assert(rows.find(_.doc_id.contains("good")).get.valid)
   }
 
@@ -85,8 +86,8 @@ class ValidateCliSpec extends SparkSpec {
     val f = tmpFile("doc.yaml", "name: 42\n")
     val (rows, exit) = Validate.run(spark, Seq(f), yamlSchema)
     assert(exit === 1)
-    assert(rows.head.violations.exists(v =>
-      v._2 === "type" && v._3 === "integer found, string expected"))
+    assert(rows.head.details.exists(_.errors ===
+      Seq("type" -> "integer found, string expected")))
   }
 
   test("embedded $schema resolves relative to the doc's directory " +
@@ -108,8 +109,8 @@ class ValidateCliSpec extends SparkSpec {
     val (rows2, sum2) = Validate.runFull(spark,
       Seq(d.resolve("bad.yaml").toString), schema = None)
     assert(!sum2.allValid)
-    assert(rows2.flatMap(_.violations).exists(v =>
-      v._2 == "type" && v._3 == "integer found, string expected"))
+    assert(rows2.flatMap(_.details).flatMap(_.errors).exists(e =>
+      e._1 == "type" && e._2 == "integer found, string expected"))
   }
 
   test("embedded $schema beats --schema; --schema-override reverses it") {
@@ -130,7 +131,8 @@ class ValidateCliSpec extends SparkSpec {
       schema = Some(d.resolve("strict.json").toString),
       schemaOverride = true)
     assert(!s2.allValid)
-    assert(r2.flatMap(_.violations).exists(_._2 == "required"))
+    assert(r2.flatMap(_.details).flatMap(_.errors)
+      .exists(_._1 == "required"))
   }
 
   test("multi3invalid through the real precedence: [T,F,T], doc 2 has " +
@@ -164,7 +166,7 @@ class ValidateCliSpec extends SparkSpec {
     val (rows, summary) = Validate.runFull(spark,
       Seq(d.resolve("doc.yaml").toString), schema = None)
     assert(!summary.allValid)
-    assert(rows.head.violations.head._3 ===
+    assert(rows.head.errors.head._2 ===
       "HTTP request failed with status code 404")
   }
 
@@ -192,12 +194,57 @@ class ValidateCliSpec extends SparkSpec {
     assert(rows.head.doc_id === f) // exact given path, no scheme prefix
   }
 
-  test("empty yaml doc yields the reference no-schema error (empty.yaml)") {
+  test("empty yaml doc yields 'No Nodes found in YAML file' " +
+      "(YamlSchemaValidator.java:106 parity)") {
     val f = tmpFile("empty.yaml", "---\n")
     val parsed = YamlSource.parseDocs(
       YamlSource.readFiles(spark, Seq(f))).collect()
     assert(parsed.length === 1)
-    assert(parsed.head.error ===
+    assert(parsed.head.error === "No Nodes found in YAML file")
+  }
+
+  test("auto-detect off: a catalog-matching path without $schema gets " +
+      "the no-schema error, not a catalog URL (SchemaDetector.java:36)") {
+    val d = Files.createTempDirectory("graft-ad")
+    val f = d.resolve("package.json") // matches a schemastore glob
+    Files.writeString(f, """{"name":"x"}""")
+    // autodetect ON: catalog resolves package.json -> https URL -> the
+    // zero-egress 404 stand-in error
+    val (on, sOn) = Validate.runFull(spark, Seq(f.toString), schema = None)
+    assert(!sOn.allValid)
+    assert(on.head.errors.head._2 ===
+      "HTTP request failed with status code 404")
+    // autodetect OFF: detection skipped entirely -> no-schema error
+    val (off, sOff) = Validate.runFull(spark, Seq(f.toString),
+      schema = None, autoDetect = false)
+    assert(!sOff.allValid)
+    assert(off.head.errors.head._2 ===
       "No schema found in YAML file or provided as parameter")
+  }
+
+  test("--files config list overrides positional args " +
+      "(YamlSchemaValidatorRunner.java:70-73)") {
+    val opts = Validate.parseArgs(Array(
+      "--files", "a.yaml,b.yaml", "positional.yaml"))
+    assert(opts.fileArgs === Seq("a.yaml", "b.yaml"))
+    val noCfg = Validate.parseArgs(Array("positional.yaml"))
+    assert(noCfg.fileArgs === Seq("positional.yaml"))
+    assert(Validate.parseArgs(Array("--auto-detect", "false")).autoDetect
+      === false)
+  }
+
+  test("unsupported non-local $ref is error-as-data: invalid row with a " +
+      "message, run continues (VERDICT r2 missing #5)") {
+    val d = Files.createTempDirectory("graft-ref")
+    Files.writeString(d.resolve("remote-ref.json"),
+      """{"type":"object","properties":{"k":{"$ref":"https://example.org/other.json#/defs/k"}}}""")
+    Files.writeString(d.resolve("doc.yaml"),
+      "$schema: ./remote-ref.json\nk: 1\n")
+    Files.writeString(d.resolve("ok.yaml"), "$schema: ./remote-ref.json2\n")
+    val (rows, summary) = Validate.runFull(spark,
+      Seq(d.resolve("doc.yaml").toString), schema = None,
+      autoDetect = false)
+    assert(summary.docs === 1 && !summary.allValid)
+    assert(rows.head.errors.head._2.contains("cannot be resolved"))
   }
 }
