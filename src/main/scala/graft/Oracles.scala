@@ -389,9 +389,12 @@ object Oracles {
        |SELECT qid, vec_id, sim, rank FROM ranked WHERE rank <= 3
        |ORDER BY qid, rank""".stripMargin
 
-  /** Mirrors Similarity.knnLsh: same deterministic sparse hyperplanes
-    * (the plane table is generated from Similarity.plane), same
-    * multi-probe bucket set, same exact-cosine re-rank.
+  /** Mirrors Similarity.knnLsh: same deterministic dense Rademacher (±1)
+    * hyperplanes (the coefficient table is generated from
+    * Similarity.planeCoefs), same integer-quantized projections
+    * (floor(x·4096) — exact in both engines, so the sign of the unordered
+    * DuckDB SUM always equals Spark's ordered fold), same multi-probe
+    * bucket set, same exact-cosine re-rank.
     */
   val knnLsh: String = {
     import graft.operators.Similarity.{planeCoefs, NumTables, SigBits, Dim}
@@ -405,7 +408,7 @@ object Oracles {
        |probes(m) AS (VALUES $probeValues),
        |sigbits AS (
        |  SELECT vec_id, t, j,
-       |    CASE WHEN SUM(CAST(embedding[d] AS DOUBLE) * c) >= 0
+       |    CASE WHEN SUM(FLOOR(CAST(embedding[d] AS DOUBLE) * 4096) * c) >= 0
        |      THEN (1 << j) ELSE 0 END AS bit
        |  FROM embeddings, coefs GROUP BY vec_id, t, j),
        |sig AS (
@@ -433,8 +436,9 @@ object Oracles {
   }
 
   /** Mirrors Similarity.cosineDups: same perturbed corpus (×0.5 on the
-    * first 8 dims is exact in binary), same double-precision cosine,
-    * rounded to 4 before the threshold.
+    * first 8 dims, ×0.25 on the first 16 for the mid-band class — both
+    * factors exact in binary), same double-precision cosine, rounded to
+    * 4 before the threshold.
     */
   val cosineDups: String =
     """WITH base AS (
@@ -444,7 +448,13 @@ object Oracles {
       |    list_transform(generate_series(1, len(e)),
       |      i -> CASE WHEN i <= 8 THEN e[i]*0.5 ELSE e[i] END) AS e
       |  FROM base WHERE vec_id%40 = 0),
-      |corpus AS (SELECT * FROM base UNION ALL SELECT * FROM pert),
+      |pert2 AS (
+      |  SELECT vec_id + 200000 AS vec_id,
+      |    list_transform(generate_series(1, len(e)),
+      |      i -> CASE WHEN i <= 16 THEN e[i]*0.25 ELSE e[i] END) AS e
+      |  FROM base WHERE vec_id%40 = 20),
+      |corpus AS (SELECT * FROM base UNION ALL SELECT * FROM pert
+      |           UNION ALL SELECT * FROM pert2),
       |pairs AS (
       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
       |    ROUND(list_dot_product(a.e, b.e) /

