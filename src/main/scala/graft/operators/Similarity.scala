@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.SignLsh
 
 /** Similarity search over the embeddings table (`vec_id, embedding:
   * array<float>, label`): brute-force cosine top-k as the exactness
@@ -69,13 +70,10 @@ object Similarity {
 
   /** Rademacher coefficients for plane (table, bit): Dim values in
     * {−1, +1}, deterministic (split-mix style hash per (t, j, d)).
+    * Shared with the codegen kernel and the DuckDB oracle generator.
     */
   def planeCoefs(t: Int, j: Int): IndexedSeq[Int] =
-    (0 until Dim).map { d =>
-      var h = t * 0x9E3779B9 + j * 0x85EBCA6B + d * 0xC2B2AE35
-      h ^= h >>> 16; h *= 0x7FEB352D; h ^= h >>> 15
-      if ((h & 1) == 0) 1 else -1
-    }
+    SignLsh.planeCoefs(t, j, Dim)
 
   /** Quantize one embedding element to an exact small integer:
     * floor(x·4096). The scale is a power of two, so x·4096 is an exact
@@ -86,19 +84,28 @@ object Similarity {
     */
   def quant(x: Column): Column = floor(x.cast("double") * 4096)
 
-  /** SigBits-bit signature of table `t` as an int bucket key: each bit
-    * the sign of an integer-quantized zip_with dot product against the
-    * ±1 coefficient array (compact codegen; an unrolled 64-term sum per
-    * bit would bloat the generated method past the JIT limit).
+  /** SigBits-bit signature of table `t` as an int bucket key, via the
+    * reference HOF tree: each bit the sign of an integer-quantized
+    * zip_with dot product against the ±1 coefficient array. This is the
+    * SPEC form — the production paths use [[SignLsh]], a custom codegen
+    * expression computing all tables in one pass over the vector (the
+    * per-bit HOF folds run interpreted and cost ~4× the whole query at
+    * sf0.1); FunctionsSpec asserts the two agree on real embeddings.
     */
-  def signature(e: Column, t: Int): Column =
-    (0 until SigBits).map { j =>
+  def signatureHof(e: Column, t: Int, bits: Int = SigBits): Column =
+    (0 until bits).map { j =>
       val coefs = array(planeCoefs(t, j).map(c => lit(c.toDouble)): _*)
       val proj = aggregate(
         zip_with(e, coefs, (x, c) => quant(x) * c),
         lit(0.0), (acc, x) => acc + x)
       when(proj >= 0, lit(1 << j)).otherwise(lit(0))
     }.reduce(_ + _)
+
+  /** All NumTables knn signatures of an embedding in one codegen'd pass:
+    * `array<int>` with element t the SigBits-bit key of table t.
+    */
+  def signatures(e: Column): Column =
+    SignLsh.signatures(e, 0, NumTables, SigBits, Dim)
 
   /** Embedding near-dup fixture corpus: embeddings (as double arrays) ∪
     * two perturbed-duplicate classes, both with exactly-representable
@@ -157,15 +164,14 @@ object Similarity {
   val DupTables = 16
   val DupBits = 16
 
-  private def dupSignature(e: Column, t: Int): Column =
-    (0 until DupBits).map { j =>
-      // table index offset keeps these planes disjoint from the knn set
-      val coefs = array(planeCoefs(100 + t, j).map(c => lit(c.toDouble)): _*)
-      val proj = aggregate(
-        zip_with(e, coefs, (x, c) => quant(x) * c),
-        lit(0.0), (acc, x) => acc + x)
-      when(proj >= 0, lit(1 << j)).otherwise(lit(0))
-    }.reduce(_ + _)
+  /** Table-index offset keeping the near-dup planes disjoint from the
+    * knn set (shared with the DuckDB oracle generator).
+    */
+  val DupTableBase = 100
+
+  /** All DupTables near-dup signatures in one codegen'd pass. */
+  def dupSignatures(e: Column): Column =
+    SignLsh.signatures(e, DupTableBase, DupTables, DupBits, Dim)
 
   /** Scale path: LSH-bucketed cosine near-dup pairs — candidates share a
     * 16-bit signature (within Hamming 1, probed one-sided) in any of the
@@ -180,8 +186,7 @@ object Similarity {
       threshold: Double = 0.9): DataFrame = {
     val c = dupCorpus(s, dir)
     val keyed = c.select(col("vec_id"),
-      posexplode(array((0 until DupTables).map(t =>
-        dupSignature(col("e"), t)): _*)).as(Seq("tbl", "sig")))
+      posexplode(dupSignatures(col("e"))).as(Seq("tbl", "sig")))
     val probeMasks = 0 +: (0 until DupBits).map(1 << _)
     val probed = keyed.select(col("vec_id"), col("tbl"),
       explode(array(probeMasks.map(m =>
@@ -213,17 +218,15 @@ object Similarity {
     * the corpus embeddings stream once; only candidates are re-ranked.
     */
   def knnLsh(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
-    val sigs = (0 until NumTables).map(t => signature(col("embedding"), t))
     val corpus = Tables.embeddings(s, dir)
       .select(col("vec_id"),
-        posexplode(array(sigs: _*)).as(Seq("tbl", "sig")))
+        posexplode(signatures(col("embedding"))).as(Seq("tbl", "sig")))
     // query probes: own bucket + each single-bit flip — ids only; the
     // query embeddings re-attach after candidate dedup
     val probeMasks = 0 +: (0 until SigBits).map(1 << _)
-    val qsigs = (0 until NumTables).map(t => signature(col("qe"), t))
     val q = queries(s, dir)
-      .select(col("qid"), col("qe"),
-        posexplode(array(qsigs: _*)).as(Seq("tbl", "qsig")))
+      .select(col("qid"),
+        posexplode(signatures(col("qe"))).as(Seq("tbl", "qsig")))
       .select(col("qid"), col("tbl"),
         explode(array(probeMasks.map(m =>
           col("qsig").bitwiseXOR(lit(m))): _*)).as("sig"))

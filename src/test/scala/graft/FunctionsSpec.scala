@@ -129,6 +129,27 @@ class FunctionsSpec extends SparkSpec {
     assert(ap.head._2 === "property bad key! is not allowed")
   }
 
+  test("codegen SignLsh kernel ≡ HOF signature tree on real embeddings") {
+    import graft.operators.Similarity
+    val dir = "/root/testdata/sf0.001"
+    // float input (knn tables 0..7) and double input (near-dup tables
+    // 100..115, wider 16-bit signatures) both agree bit-for-bit with the
+    // per-bit HOF fold the Scaladoc declares as the spec form
+    val knn = Tables.embeddings(spark, dir).select(
+      Similarity.signatures(col("embedding")).as("fast"),
+      array((0 until Similarity.NumTables).map(t =>
+        Similarity.signatureHof(col("embedding"), t)): _*).as("spec"))
+      .filter(col("fast") =!= col("spec")).count()
+    assert(knn === 0)
+    val dup = Similarity.dupCorpus(spark, dir).select(
+      Similarity.dupSignatures(col("e")).as("fast"),
+      array((0 until Similarity.DupTables).map(t =>
+        Similarity.signatureHof(col("e"), Similarity.DupTableBase + t,
+          Similarity.DupBits)): _*).as("spec"))
+      .filter(col("fast") =!= col("spec")).count()
+    assert(dup === 0)
+  }
+
   test("custom SpanMismatchIndices expression ≡ HOF violations column") {
     val documents = Tables.documents(spark, "/root/testdata/sf0.001")
     val docs = graft.data.Interleaved.docs(documents)
