@@ -535,7 +535,7 @@ object Oracles {
     */
   private def catValues: String =
     graft.rules.Catalog.compiled.map {
-      case (_, url, re, bn, spec, idx) =>
+      case (_, url, re, bn, spec, idx, _) =>
         s"('${url.replace("'", "''")}', '${re.replace("'", "''")}', " +
           s"$bn, $spec, $idx)"
     }.mkString(",\n")

@@ -10,10 +10,12 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 
 /** Schema-store catalog routing: path-glob autodetection with
-  * greatest-specificity tie-break, plus the reference's three-level
-  * schema-resolution precedence (embedded `$schema` > catalog match >
-  * CLI default, else error) — SURVEY.md §1.3 / §2.4 J2, re-expressed as
-  * a broadcast theta-join (regex match) + argmax.
+  * greatest-specificity tie-break, plus the reference's full
+  * schema-resolution precedence — `--schema-override` > embedded
+  * `$schema` > CLI default > catalog autodetection, else the no-schema
+  * error (see [[resolve]], which mirrors YamlSchemaValidator.java:123-136;
+  * SURVEY §1.3's "embedded > catalog > default" paraphrase was wrong) —
+  * re-expressed as a broadcast first-match scan + argmax.
   *
   * Glob semantics mirror the reference's GlobPattern exactly
   * (GlobPattern.java:70-102): `*` matches within a path segment, `?` one
@@ -53,11 +55,16 @@ object Catalog {
   }
 
   final case class CompiledGlob(regex: String, basenameOnly: Boolean,
-      specificity: Int)
+      specificity: Int, litSuffix: String)
 
   /** Glob → (anchored regex, basename-only flag, literal-char
-    * specificity). RE2-compatible output so the DuckDB oracle can run the
-    * identical regex. Mirrors GlobPattern.globToRegex char-for-char.
+    * specificity, literal tail). RE2-compatible output so the DuckDB
+    * oracle can run the identical regex. Mirrors GlobPattern.globToRegex
+    * char-for-char. `litSuffix` is the glob text after the last wildcard
+    * — every glob char outside `*`/`?` is matched literally, so
+    * `target.endsWith(litSuffix)` is a NECESSARY condition of the regex
+    * (the anchored pattern ends with exactly those literal chars), which
+    * makes it a sound cheap pre-filter for the 2,600-pattern scan.
     */
   def compileGlob(glob: String): CompiledGlob = {
     val sb = new StringBuilder("^")
@@ -78,9 +85,11 @@ object Catalog {
       }
       i += 1
     }
+    val lastWild = math.max(glob.lastIndexOf('*'), glob.lastIndexOf('?'))
     CompiledGlob(sb.append("$").toString,
       basenameOnly = glob.indexOf('/') < 0,
-      specificity = glob.count(c => c != '*' && c != '?'))
+      specificity = glob.count(c => c != '*' && c != '?'),
+      litSuffix = glob.substring(lastWild + 1))
   }
 
   /** Driver-side glob match with full reference semantics (separator
@@ -97,31 +106,47 @@ object Catalog {
   }
 
   /** Flattened compiled catalog:
-    * (name, url, regex, basename_only, specificity, idx). idx preserves
-    * catalog order for the reference's first-wins tie-break.
+    * (name, url, regex, basename_only, specificity, idx, lit_suffix).
+    * idx preserves catalog order for the reference's first-wins
+    * tie-break.
     */
-  lazy val compiled: Seq[(String, String, String, Boolean, Int, Int)] =
+  lazy val compiled: Seq[(String, String, String, Boolean, Int, Int, String)] =
     entries.flatMap(e => e.fileMatch.map(g => (e, g))).zipWithIndex.map {
       case ((e, g), idx) =>
         val cg = compileGlob(g)
-        (e.name, e.url, cg.regex, cg.basenameOnly, cg.specificity, idx)
+        (e.name, e.url, cg.regex, cg.basenameOnly, cg.specificity, idx,
+          cg.litSuffix)
     }
 
+  /** Compiled catalog with the java Patterns materialized ONCE, in
+    * catalog order — the twin of the reference's cached
+    * `SchemaDetector.compiled` list (SchemaDetector.java:55-66). The r2
+    * `detect` recompiled all ~2,600 globs (twice each) per call
+    * (ADVICE r2).
+    */
+  private lazy val detectPatterns
+      : Array[(java.util.regex.Pattern, Boolean, Int, String)] =
+    compiled.map { case (_, url, re, bn, spec, _, _) =>
+      (java.util.regex.Pattern.compile(re), bn, spec, url)
+    }.toArray
+
   /** Driver-side detection against the bundled snapshot — the literal
-    * shape of SchemaDetector.detect's argmax loop (strict `>`, so the
-    * first catalog entry wins ties). Used by the CLI for one-off paths
-    * and by specs; the distributed twin is [[catalogMatch]].
+    * shape of SchemaDetector.detect's argmax loop (strict `>` over
+    * catalog order, so the first catalog entry wins ties). Used by the
+    * CLI for one-off paths and by specs; the distributed twin is
+    * [[catalogMatch]], and CatalogDriftSpec asserts the two agree on
+    * hundreds of real schemastore fileMatch shapes.
     */
   def detect(path: String): Option[String] = {
+    val norm = path.replace('\\', '/')
+    val base = norm.substring(norm.lastIndexOf('/') + 1)
     var bestUrl: Option[String] = None
     var bestSpec = -1
-    entries.foreach { e =>
-      e.fileMatch.foreach { g =>
-        val cg = compileGlob(g)
-        if (cg.specificity > bestSpec && globMatches(g, path)) {
-          bestSpec = cg.specificity
-          bestUrl = Some(e.url)
-        }
+    detectPatterns.foreach { case (p, bn, spec, url) =>
+      if (spec > bestSpec &&
+          p.matcher(if (bn) base else norm).matches()) {
+        bestSpec = spec
+        bestUrl = Some(url)
       }
     }
     bestUrl
@@ -157,23 +182,29 @@ object Catalog {
     * catalog is BROADCAST sorted by (specificity desc, catalog idx), each
     * partition compiles the 2,600 patterns once, and the first match in
     * that order IS the argmax with the reference's first-wins tie-break
-    * (SchemaDetector.java:39-46) — so the scan early-exits too. One
-    * narrow mapPartitions pass; no shuffle, no groupBy.
+    * (SchemaDetector.java:39-46) — so the scan early-exits too. Each
+    * pattern is guarded by an `endsWith(litSuffix)` pre-filter — a
+    * necessary condition of its anchored regex (see [[compileGlob]]), so
+    * semantics are untouched while the overwhelmingly common outcome
+    * (wrong extension) costs a few char compares instead of a regex run
+    * (v_routing_none 2.4 s → ~0.9 s at sf0.1). One narrow mapPartitions
+    * pass; no shuffle, no groupBy.
     */
   def catalogMatch(paths: DataFrame): DataFrame = {
     val s = paths.sparkSession
     import s.implicits._
     val sorted = compiled
-      .sortBy { case (_, _, _, _, spec, idx) => (-spec, idx) }
-      .map { case (_, url, re, bn, _, _) => (url, re, bn) }.toArray
+      .sortBy { case (_, _, _, _, spec, idx, _) => (-spec, idx) }
+      .map { case (_, url, re, bn, _, _, suf) => (url, re, bn, suf) }
+      .toArray
     val bc = s.sparkContext.broadcast(sorted)
     paths
       .select(col("doc_id").cast("long"), col("path"),
         col("embedded_schema"))
       .as[(Long, String, Option[String])]
       .mapPartitions { it =>
-        val pats = bc.value.map { case (url, re, bn) =>
-          (url, java.util.regex.Pattern.compile(re), bn)
+        val pats = bc.value.map { case (url, re, bn, suf) =>
+          (url, java.util.regex.Pattern.compile(re), bn, suf)
         }
         it.map { case (id, path, emb) =>
           val norm = path.replace('\\', '/')
@@ -181,8 +212,10 @@ object Catalog {
           var hit: String = null
           var i = 0
           while (hit == null && i < pats.length) {
-            val (url, p, bn) = pats(i)
-            if (p.matcher(if (bn) base else norm).matches()) hit = url
+            val (url, p, bn, suf) = pats(i)
+            val target = if (bn) base else norm
+            if (target.endsWith(suf) && p.matcher(target).matches())
+              hit = url
             i += 1
           }
           (id, path, emb, Option(hit))

@@ -80,6 +80,34 @@ class CatalogDriftSpec extends SparkSpec {
     }
   }
 
+  test("driver argmax == distributed first-match on real schemastore " +
+      "fileMatch shapes") {
+    // synthesize a concrete path from each of the catalog's own globs
+    // (wildcards instantiated), so the cross-check exercises hundreds of
+    // REAL schemastore shapes — nested ** patterns, basename-only globs,
+    // multi-extension families — not just the six docPaths families
+    // (VERDICT r2 task 8). detect() is the literal SchemaDetector argmax;
+    // catalogMatch() is the sorted first-match scan with the litSuffix
+    // pre-filter — they must agree on every path.
+    val paths = Catalog.entries.flatMap(_.fileMatch).take(700)
+      .map(g => g.replace("**/", "sub/dir/").replace("**", "deep/x")
+        .replace("*", "name").replace("?", "q"))
+      .distinct
+    val df = paths.zipWithIndex
+      .map { case (p, i) => (i.toLong, p, null: String) }
+      .toDF("doc_id", "path", "embedded_schema")
+    val dist = Catalog.catalogMatch(df)
+      .select("path", "catalog_url")
+      .as[(String, Option[String])].collect().toMap
+    assert(paths.size >= 500, s"shapes exercised: ${paths.size}")
+    paths.foreach { p =>
+      assert(dist(p) === Catalog.detect(p), s"path $p")
+    }
+    // and a healthy share must actually hit a catalog entry (the shapes
+    // are derived from real globs, so misses should be the minority)
+    assert(dist.values.count(_.isDefined) > paths.size / 2)
+  }
+
   test("drift: identical snapshots score zero, shifted snapshots don't") {
     val base = (1 to 2000).map(i => ("t", "A", (i % 100).toDouble)) ++
       (1 to 2000).map(i => ("t", "B", (i % 100).toDouble))
