@@ -65,8 +65,8 @@ object Validate {
     */
   def validatedFrame(spark: SparkSession, files: Seq[String],
       schema: Option[String], schemaOverride: Boolean = false,
-      stdinText: Option[String] = None, autoDetect: Boolean = true)
-      : DataFrame = {
+      stdinText: Option[String] = None, autoDetect: Boolean = true,
+      catalogUrl: Option[String] = None): DataFrame = {
     import spark.implicits._
     val useStdin = stdinText.isDefined &&
       (files.isEmpty || files.contains("-"))
@@ -92,8 +92,11 @@ object Validate {
       else if (autoDetect) {
         // catalog autodetect runs only when no --schema was given AND
         // auto-detect is on (SchemaDetector.java:36 gate; the reference's
-        // test config sets auto-detect=false)
-        val urls = Catalog.pathUrls(docs.select("path"))
+        // test config sets auto-detect=false). The catalog itself follows
+        // the loader policy: configured catalogUrl first, bundled
+        // fallback (SchemaCatalogLoader.java:42-51)
+        val urls = Catalog.pathUrls(docs.select("path"),
+          Catalog.loadSnapshot(catalogUrl))
         docs.join(broadcast(urls), Seq("path"), "left")
           .withColumn("schema_url", coalesce(emb, col("catalog_url")))
       } else docs.withColumn("schema_url", emb)
@@ -160,10 +163,11 @@ object Validate {
     */
   def runFull(spark: SparkSession, files: Seq[String],
       schema: Option[String], schemaOverride: Boolean = false,
-      stdinText: Option[String] = None, autoDetect: Boolean = true)
+      stdinText: Option[String] = None, autoDetect: Boolean = true,
+      catalogUrl: Option[String] = None)
       : (Seq[Reports.VerdictRow], Reports.RunSummary) = {
     val validated = validatedFrame(spark, files, schema, schemaOverride,
-      stdinText, autoDetect)
+      stdinText, autoDetect, catalogUrl)
     val verdicts = validated.select("doc_id", "valid")
     val violations = validated
       .select(col("doc_id"), explode(col("violations")).as("x"))
@@ -188,6 +192,7 @@ object Validate {
       |  --schema-override         Use --schema instead of $schema from docs
       |  --files <f1,f2,...>       File list; overrides positional args
       |  --auto-detect <true|false> Path-based catalog schema detection (default: true)
+      |  --catalog-url <url|path>  Schema catalog to fetch; falls back to the bundled snapshot
       |  --report <type>           text (default), json, yaml, junit, sarif, llm
       |  --report-file <name>      Write report to file (default: stdout)
       |  --color <true|false>      ANSI colors in text output (default: true)
@@ -202,6 +207,7 @@ object Validate {
       schemaOverride: Boolean = false, format: String = "TEXT",
       reportFile: Option[String] = None, color: Boolean = true,
       compact: Boolean = true, autoDetect: Boolean = true,
+      catalogUrl: Option[String] = None,
       help: Boolean = false, configFiles: Option[Seq[String]] = None,
       positional: Seq[String] = Seq.empty) {
     def fileArgs: Seq[String] = configFiles.getOrElse(positional)
@@ -221,6 +227,8 @@ object Validate {
             .map(_.trim).filter(_.nonEmpty))); i += 1
         case "--auto-detect" =>
           o = o.copy(autoDetect = args(i + 1).toBoolean); i += 1
+        case "--catalog-url" =>
+          o = o.copy(catalogUrl = Some(args(i + 1))); i += 1
         case "--report" =>
           o = o.copy(format = args(i + 1).toUpperCase); i += 1
         case "--report-file" =>
@@ -267,7 +275,7 @@ object Validate {
     spark.sparkContext.setLogLevel("WARN")
     val (rows, summary) =
       runFull(spark, fileArgs, schema, schemaOverride, stdinText,
-        autoDetect)
+        autoDetect, opts.catalogUrl)
     val report = format match {
       case "JSON" => Reports.renderJson(rows, summary)
       case "YAML" => Reports.renderYaml(rows, summary)

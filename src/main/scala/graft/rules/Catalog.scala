@@ -1,5 +1,7 @@
 package graft.rules
 
+import java.nio.file.{Files, Paths}
+
 import scala.jdk.CollectionConverters._
 
 import com.fasterxml.jackson.databind.ObjectMapper
@@ -36,22 +38,84 @@ object Catalog {
 
   final case class Entry(name: String, fileMatch: Seq[String], url: String)
 
-  /** The real bundled catalog (entries without url or fileMatch are
-    * skipped, like SchemaDetector.compiled, SchemaDetector.java:55-66).
+  /** Parse a schemastore-format catalog document (entries without url or
+    * fileMatch are skipped, like SchemaDetector.compiled,
+    * SchemaDetector.java:55-66).
     */
-  lazy val entries: Seq[Entry] = {
-    val in = getClass.getResourceAsStream("/schema-catalog.json")
-    try {
-      val root = new ObjectMapper().readTree(in)
-      root.get("schemas").elements().asScala.map { e =>
+  def parseCatalog(json: String): Seq[Entry] = {
+    val root = new ObjectMapper().readTree(json)
+    Option(root.get("schemas")).toSeq
+      .flatMap(_.elements().asScala.toSeq).map { e =>
         Entry(
           Option(e.get("name")).map(_.asText()).getOrElse(""),
           Option(e.get("fileMatch"))
             .map(_.elements().asScala.map(_.asText()).toSeq)
             .getOrElse(Seq.empty),
           Option(e.get("url")).map(_.asText()).orNull)
-      }.filter(e => e.url != null && e.fileMatch.nonEmpty).toSeq
-    } finally in.close()
+      }.filter(e => e.url != null && e.fileMatch.nonEmpty)
+  }
+
+  /** The real bundled catalog snapshot. */
+  lazy val entries: Seq[Entry] = {
+    val in = getClass.getResourceAsStream("/schema-catalog.json")
+    try parseCatalog(new String(in.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8))
+    finally in.close()
+  }
+
+  /** Catalog loading policy, mirroring SchemaCatalogLoader.load
+    * (SchemaCatalogLoader.java:42-51): prefer a live fetch from the
+    * configured `catalogUrl`, fall back to the bundled snapshot when the
+    * fetch fails or yields no schemas, so detection keeps working
+    * offline. A `file:` URL or plain local path reads locally (the shape
+    * the zero-egress sandbox can exercise end-to-end); `http(s)` is the
+    * reference's HttpClient GET — here a stand-in that always takes the
+    * loader's catch-and-fallback branch, since the sandbox has no
+    * egress. Returns the ENTRIES to route with; callers build a
+    * [[Snapshot]] for custom catalogs.
+    */
+  def loadEntries(catalogUrl: Option[String]): Seq[Entry] = {
+    val fetched: Option[Seq[Entry]] = catalogUrl.filter(_.nonEmpty)
+      .flatMap { url =>
+        try {
+          if (url.startsWith("http://") || url.startsWith("https://"))
+            None // zero-egress: fetch fails -> loader falls back
+          else {
+            val p =
+              if (url.startsWith("file:"))
+                Paths.get(java.net.URI.create(url))
+              else Paths.get(url)
+            Some(parseCatalog(Files.readString(p)))
+          }
+        } catch { case _: Exception => None }
+      }.filter(_.nonEmpty)
+    fetched.getOrElse(entries)
+  }
+
+  /** A routable catalog: compiled globs + cached patterns for a given
+    * entry list. The process-default [[Catalog]] API routes against the
+    * bundled snapshot; `Snapshot(loadEntries(Some(url)))` routes against
+    * a custom catalog with the same argmax/first-match machinery.
+    */
+  final case class Snapshot(snapEntries: Seq[Entry]) {
+    lazy val compiledGlobs: Seq[(String, String, String, Boolean, Int, Int, String)] =
+      snapEntries.flatMap(e => e.fileMatch.map(g => (e, g)))
+        .zipWithIndex.map { case ((e, g), idx) =>
+          val cg = compileGlob(g)
+          (e.name, e.url, cg.regex, cg.basenameOnly, cg.specificity, idx,
+            cg.litSuffix)
+        }
+
+    lazy val patterns: Array[(java.util.regex.Pattern, Boolean, Int, String)] =
+      compiledGlobs.map { case (_, url, re, bn, spec, _, _) =>
+        (java.util.regex.Pattern.compile(re), bn, spec, url)
+      }.toArray
+
+    lazy val sortedPatterns: Array[(String, String, Boolean, String)] =
+      compiledGlobs
+        .sortBy { case (_, _, _, _, spec, idx, _) => (-spec, idx) }
+        .map { case (_, url, re, bn, _, _, suf) => (url, re, bn, suf) }
+        .toArray
   }
 
   final case class CompiledGlob(regex: String, basenameOnly: Boolean,
@@ -105,44 +169,40 @@ object Catalog {
     target.matches(g.regex)
   }
 
-  /** Flattened compiled catalog:
+  /** The process-default snapshot over the bundled catalog. */
+  lazy val bundled: Snapshot = Snapshot(entries)
+
+  /** [[loadEntries]] as a routable snapshot; reuses the bundled
+    * snapshot's cached patterns when the loader fell back to it.
+    */
+  def loadSnapshot(catalogUrl: Option[String]): Snapshot = {
+    val es = loadEntries(catalogUrl)
+    if (es eq entries) bundled else Snapshot(es)
+  }
+
+  /** Flattened compiled bundled catalog:
     * (name, url, regex, basename_only, specificity, idx, lit_suffix).
     * idx preserves catalog order for the reference's first-wins
     * tie-break.
     */
-  lazy val compiled: Seq[(String, String, String, Boolean, Int, Int, String)] =
-    entries.flatMap(e => e.fileMatch.map(g => (e, g))).zipWithIndex.map {
-      case ((e, g), idx) =>
-        val cg = compileGlob(g)
-        (e.name, e.url, cg.regex, cg.basenameOnly, cg.specificity, idx,
-          cg.litSuffix)
-    }
+  def compiled: Seq[(String, String, String, Boolean, Int, Int, String)] =
+    bundled.compiledGlobs
 
-  /** Compiled catalog with the java Patterns materialized ONCE, in
-    * catalog order — the twin of the reference's cached
-    * `SchemaDetector.compiled` list (SchemaDetector.java:55-66). The r2
-    * `detect` recompiled all ~2,600 globs (twice each) per call
-    * (ADVICE r2).
+  /** Driver-side detection — the literal shape of SchemaDetector
+    * .detect's argmax loop (strict `>` over catalog order, so the first
+    * catalog entry wins ties) over the snapshot's cached compiled
+    * patterns (the twin of `SchemaDetector.compiled`; the r2 version
+    * recompiled all ~2,600 globs, twice each, per call — ADVICE r2).
+    * Used by the CLI for one-off paths and by specs; the distributed
+    * twin is [[catalogMatch]], and CatalogDriftSpec asserts the two
+    * agree on hundreds of real schemastore fileMatch shapes.
     */
-  private lazy val detectPatterns
-      : Array[(java.util.regex.Pattern, Boolean, Int, String)] =
-    compiled.map { case (_, url, re, bn, spec, _, _) =>
-      (java.util.regex.Pattern.compile(re), bn, spec, url)
-    }.toArray
-
-  /** Driver-side detection against the bundled snapshot — the literal
-    * shape of SchemaDetector.detect's argmax loop (strict `>` over
-    * catalog order, so the first catalog entry wins ties). Used by the
-    * CLI for one-off paths and by specs; the distributed twin is
-    * [[catalogMatch]], and CatalogDriftSpec asserts the two agree on
-    * hundreds of real schemastore fileMatch shapes.
-    */
-  def detect(path: String): Option[String] = {
+  def detect(path: String, snap: Snapshot = bundled): Option[String] = {
     val norm = path.replace('\\', '/')
     val base = norm.substring(norm.lastIndexOf('/') + 1)
     var bestUrl: Option[String] = None
     var bestSpec = -1
-    detectPatterns.foreach { case (p, bn, spec, url) =>
+    snap.patterns.foreach { case (p, bn, spec, url) =>
       if (spec > bestSpec &&
           p.matcher(if (bn) base else norm).matches()) {
         bestSpec = spec
@@ -190,14 +250,11 @@ object Catalog {
     * (v_routing_none 2.4 s → ~0.9 s at sf0.1). One narrow mapPartitions
     * pass; no shuffle, no groupBy.
     */
-  def catalogMatch(paths: DataFrame): DataFrame = {
+  def catalogMatch(paths: DataFrame, snap: Snapshot = bundled)
+      : DataFrame = {
     val s = paths.sparkSession
     import s.implicits._
-    val sorted = compiled
-      .sortBy { case (_, _, _, _, spec, idx, _) => (-spec, idx) }
-      .map { case (_, url, re, bn, _, _, suf) => (url, re, bn, suf) }
-      .toArray
-    val bc = s.sparkContext.broadcast(sorted)
+    val bc = s.sparkContext.broadcast(snap.sortedPatterns)
     paths
       .select(col("doc_id").cast("long"), col("path"),
         col("embedded_schema"))
@@ -228,12 +285,12 @@ object Catalog {
     * generic entry the CLI uses (broadcast-joined back); same compiled
     * broadcast + first-match loop as [[catalogMatch]].
     */
-  def pathUrls(paths: DataFrame): DataFrame = {
+  def pathUrls(paths: DataFrame, snap: Snapshot = bundled): DataFrame = {
     val s = paths.sparkSession
     import s.implicits._
     catalogMatch(paths.distinct()
         .select(lit(0L).as("doc_id"), col("path"),
-          lit(null).cast("string").as("embedded_schema")))
+          lit(null).cast("string").as("embedded_schema")), snap)
       .select(col("path"), col("catalog_url"))
   }
 

@@ -233,6 +233,43 @@ class ValidateCliSpec extends SparkSpec {
       === false)
   }
 
+  test("--catalog-url: custom catalog routes detection; fetch failure " +
+      "falls back to the bundled snapshot (SchemaCatalogLoader.java:42-51)") {
+    import graft.rules.Catalog
+    val d = Files.createTempDirectory("graft-cat")
+    // a custom catalog mapping *.conf.yaml to a LOCAL schema file, so the
+    // whole detect -> compile -> validate path runs end-to-end offline
+    val schemaPath = d.resolve("conf-schema.json")
+    Files.writeString(schemaPath,
+      """{"type":"object","required":["name"]}""")
+    val catPath = d.resolve("catalog.json")
+    Files.writeString(catPath,
+      s"""{"schemas":[{"name":"conf","fileMatch":["*.conf.yaml"],
+         |"url":"${schemaPath.toString}"}]}""".stripMargin.replace("\n", ""))
+    val doc = d.resolve("app.conf.yaml")
+    Files.writeString(doc, "noname: 1\n")
+    val (rows, summary) = Validate.runFull(spark, Seq(doc.toString),
+      schema = None, catalogUrl = Some(catPath.toString))
+    assert(summary.docs === 1 && !summary.allValid)
+    assert(rows.head.details.exists(dd =>
+      dd.errors.exists(_._2.contains("required"))), rows.head.toString)
+    // the custom catalog REPLACES the bundled one while it loads...
+    val custom = Catalog.loadSnapshot(Some(catPath.toString))
+    assert(Catalog.detect("app.conf.yaml", custom)
+      === Some(schemaPath.toString))
+    assert(Catalog.detect(".github/workflows/ci.yml", custom).isEmpty)
+    // ...and every failing fetch falls back to the bundled snapshot:
+    // http(s) (zero-egress), a missing local file, and an empty catalog
+    for (bad <- Seq("https://www.schemastore.org/api/json/catalog.json",
+        d.resolve("missing.json").toString)) {
+      assert(Catalog.loadSnapshot(Some(bad)) eq Catalog.bundled, bad)
+    }
+    val empty = d.resolve("empty-catalog.json")
+    Files.writeString(empty, """{"schemas":[]}""")
+    assert(Catalog.loadSnapshot(Some(empty.toString)) eq Catalog.bundled)
+    assert(Catalog.loadSnapshot(None) eq Catalog.bundled)
+  }
+
   test("unsupported non-local $ref is error-as-data: invalid row with a " +
       "message, run continues (VERDICT r2 missing #5)") {
     val d = Files.createTempDirectory("graft-ref")
