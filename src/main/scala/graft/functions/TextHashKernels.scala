@@ -1,0 +1,203 @@
+package graft.functions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.catalyst.expressions.XXH64
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Tight-loop kernels for the dedup hot paths. Each is bit-for-bit
+  * equal to a declared HOF spec form in [[graft.operators.Dedup]]
+  * (asserted in FunctionsSpec) — the HOF trees run interpreted with
+  * boxed closures, which made the signature projections the dominant
+  * cost of d_minhash_pairs / d_simhash_pairs at sf0.1.
+  */
+object TextHash {
+  def minhashSignature(sh: Column, numHashes: Int): Column =
+    GraftBridge.column(MinHashSignature(
+      GraftBridge.expression(sh), numHashes))
+
+  def simhashValue(w: Column, bits: Int): Column =
+    GraftBridge.column(SimHashValue(GraftBridge.expression(w), bits))
+
+  def shingles(w: Column, n: Int): Column =
+    GraftBridge.column(Shingles(GraftBridge.expression(w), n))
+}
+
+/** One-pass shingle builder shared by eval and generated code. */
+final class ShingleKernel(n: Int) extends Serializable {
+  private val space = UTF8String.fromString(" ")
+
+  def shingles(w: ArrayData): ArrayData = {
+    val len = w.numElements()
+    if (len < n) return new GenericArrayData(Array.empty[Any])
+    // LinkedHashSet = array_distinct's keep-first semantics
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    val parts = new Array[UTF8String](n)
+    var i = 0
+    while (i <= len - n) {
+      var j = 0
+      while (j < n) { parts(j) = w.getUTF8String(i + j); j += 1 }
+      seen.add(UTF8String.concatWs(space, parts: _*))
+      i += 1
+    }
+    new GenericArrayData(seen.toArray.asInstanceOf[Array[AnyRef]])
+  }
+}
+
+/** Distinct word n-gram shingles in first-occurrence order — equal to
+  * `array_distinct(transform(sequence(1, size-n+1), i -> concat_ws(" ",
+  * element_at(w,i)..element_at(w,i+n-1))))` with the empty array for
+  * short docs, in one pass with no per-element closure dispatch.
+  */
+case class Shingles(child: Expression, n: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType)
+
+  @transient private lazy val kernel = new ShingleKernel(n)
+
+  override def nullSafeEval(v: Any): Any =
+    kernel.shingles(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode = {
+    val h = ctx.addReferenceObj("shingleKernel", kernel,
+      classOf[ShingleKernel].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $h.shingles($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Shingles = copy(child = newChild)
+
+  override def prettyName: String = "word_shingles"
+}
+
+/** MinHash kernel: per shingle, the seed-k hash is Spark's
+  * `xxhash64(lit(k), shingle)` — XXH64 of the int seed folded into the
+  * 42 start seed, then XXH64 of the UTF8 bytes (the exact semantics of
+  * the XxHash64 expression, so the kernel equals the HOF
+  * `array_min(transform(sh, xxhash64(lit(k), x)))` per seed). The
+  * per-seed int prefix is hoisted (it is constant), and all `numHashes`
+  * minima update in ONE pass over the shingle array.
+  */
+final class MinHashKernel(numHashes: Int) extends Serializable {
+  private val seedH: Array[Long] =
+    Array.tabulate(numHashes)(k => XXH64.hashInt(k, 42L))
+
+  def signature(sh: ArrayData): ArrayData = {
+    val n = sh.numElements()
+    val out = new Array[Any](numHashes)
+    if (n == 0) return new GenericArrayData(out) // nulls, like array_min
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val s = sh.getUTF8String(i)
+      var k = 0
+      while (k < numHashes) {
+        val h = XXH64.hashUTF8String(s, seedH(k))
+        if (h < mins(k)) mins(k) = h
+        k += 1
+      }
+      i += 1
+    }
+    var k = 0
+    while (k < numHashes) { out(k) = mins(k); k += 1 }
+    new GenericArrayData(out)
+  }
+}
+
+/** `array<long>` of the `numHashes` MinHash minima of a shingle array. */
+case class MinHashSignature(child: Expression, numHashes: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType)
+
+  @transient private lazy val kernel = new MinHashKernel(numHashes)
+
+  override def nullSafeEval(v: Any): Any =
+    kernel.signature(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode = {
+    val h = ctx.addReferenceObj("minHashKernel", kernel,
+      classOf[MinHashKernel].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $h.signature($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : MinHashSignature = copy(child = newChild)
+
+  override def prettyName: String = "minhash_signature"
+}
+
+/** SimHash kernel: distinct tokens of the words array, each hashed to
+  * the top `bits` bits of its md5 (= `conv(substring(md5(t),1,15),16,
+  * 10)` for bits=60 — the value both engines can compute, which is what
+  * keeps the DuckDB oracle exact), folded into per-bit majority votes.
+  * Equals `simhashFromVotes(simhashVotes(w))` exactly: vote order is
+  * irrelevant to the sums, and distinctness matches `array_distinct`.
+  */
+final class SimHashKernel(bits: Int) extends Serializable {
+  def value(words: ArrayData): Long = {
+    val md = MessageDigest.getInstance("MD5")
+    val seen = new java.util.HashSet[UTF8String]()
+    val votes = new Array[Int](bits)
+    val n = words.numElements()
+    var i = 0
+    while (i < n) {
+      val w = words.getUTF8String(i)
+      if (w != null && seen.add(w)) {
+        md.reset()
+        val d = md.digest(w.getBytes)
+        // top 15 hex chars = first 60 bits: big-endian first 8 bytes,
+        // shifted right 4 (the low nibble of byte 7 is hex char 16)
+        var h = 0L
+        var b = 0
+        while (b < 8) { h = (h << 8) | (d(b) & 0xffL); b += 1 }
+        h >>>= 4
+        var bit = 0
+        while (bit < bits) {
+          votes(bit) += (if (((h >>> bit) & 1L) == 1L) 1 else -1)
+          bit += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var bit = 0
+    while (bit < bits) {
+      if (votes(bit) > 0) out |= 1L << bit
+      bit += 1
+    }
+    out
+  }
+}
+
+/** The `bits`-bit SimHash of a words array as one long. */
+case class SimHashValue(child: Expression, bits: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  @transient private lazy val kernel = new SimHashKernel(bits)
+
+  override def nullSafeEval(v: Any): Any =
+    java.lang.Long.valueOf(kernel.value(v.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode = {
+    val h = ctx.addReferenceObj("simHashKernel", kernel,
+      classOf[SimHashKernel].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $h.value($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : SimHashValue = copy(child = newChild)
+
+  override def prettyName: String = "simhash_value"
+}

@@ -55,18 +55,24 @@ object Dedup {
       .orderBy(col("fingerprint"))
 
   /** Word 3-gram shingles, distinct per document, from a MATERIALIZED
-    * words array. Passing `split(text)` in directly is a trap: the HOF
-    * path does no common-subexpression elimination, so the split would
-    * re-run for every element_at — stage the words behind an exchange
-    * (see [[corpusWords]]) so it evaluates once per row.
+    * words array — HOF spec form. Passing `split(text)` in directly is a
+    * trap: the HOF path does no common-subexpression elimination, so the
+    * split would re-run for every element_at — stage the words behind an
+    * aliased projection (see [[corpusWords]]) so it evaluates once per
+    * row. The production path is the [[graft.functions.TextHash
+    * .shingles]] one-pass kernel; FunctionsSpec asserts equality.
     */
-  def shinglesOf(w: Column): Column = {
+  def shinglesOfHof(w: Column): Column = {
     val n = size(w)
     array_distinct(when(n >= 3,
       transform(sequence(lit(1), n - 2), i => concat_ws(" ",
         element_at(w, i), element_at(w, i + 1), element_at(w, i + 2))))
       .otherwise(array().cast("array<string>")))
   }
+
+  /** Production shingle builder: one-pass codegen kernel. */
+  def shinglesOf(w: Column): Column =
+    graft.functions.TextHash.shingles(w, 3)
 
   /** Corpus with the words array staged in its own projection. The alias
     * is what guarantees split() runs once per row — CollapseProject keeps a
@@ -120,14 +126,21 @@ object Dedup {
   val NumHashes = 96
   val BandSize = 3
 
-  /** MinHash signature matrix: min over shingles of xxhash64(shingle, seed)
-    * per seed — computed in one projection over the shingle array (no
-    * explode, no shuffle).
+  /** MinHash signature matrix, HOF spec form: min over shingles of
+    * xxhash64(seed, shingle) per seed. The production path is the
+    * [[graft.functions.TextHash.minhashSignature]] codegen kernel — one
+    * pass over the shingle array updating all 96 minima (the 96 separate
+    * interpreted folds here were the dominant cost of d_minhash_pairs);
+    * FunctionsSpec asserts the two agree hash-for-hash.
     */
-  def minhashSignature(sh: Column): Column =
+  def minhashSignatureHof(sh: Column): Column =
     array((0 until NumHashes).map { seed =>
       array_min(transform(sh, x => xxhash64(lit(seed), x)))
     }: _*)
+
+  /** Production MinHash signature: one-pass codegen kernel. */
+  def minhashSignature(sh: Column): Column =
+    graft.functions.TextHash.minhashSignature(sh, NumHashes)
 
   /** LSH candidate pairs: band the signature, shuffle on (band, hash of
     * band rows), pair up within buckets, then verify with exact Jaccard.
@@ -211,8 +224,13 @@ object Dedup {
   def tokenHash(t: Column): Column =
     conv(substring(md5(t), 1, 15), 16, 10).cast("long")
 
-  /** SimHash vote vector: one aggregate() fold per document, accumulator =
-    * 60 per-bit majority votes (bit positions unrolled statically).
+  /** SimHash vote vector, HOF spec form: one aggregate() fold per
+    * document, accumulator = 60 per-bit majority votes (bit positions
+    * unrolled statically). The production path is the
+    * [[graft.functions.TextHash.simhashValue]] codegen kernel — same
+    * distinct-token md5 math in a tight loop (the interpreted fold
+    * allocated a 60-element accumulator per token); FunctionsSpec
+    * asserts kernel == simhashFromVotes(simhashVotes(w)).
     */
   def simhashVotes(w: Column): Column = {
     val hashes = transform(array_distinct(w), t => tokenHash(t))
@@ -239,8 +257,9 @@ object Dedup {
   def simhashPairs(s: SparkSession, dir: String, maxDist: Int = MaxDist)
       : DataFrame = {
     val docs = corpusWords(s, dir)
-      .select(col("doc_id"), simhashVotes(col("w")).as("votes"))
-      .select(col("doc_id"), simhashFromVotes(col("votes")).as("sh"))
+      .select(col("doc_id"),
+        graft.functions.TextHash.simhashValue(col("w"), SimHashBits)
+          .as("sh"))
     val blockKeys = array(blockBounds.map { case (off, width) =>
       shiftright(col("sh"), off).bitwiseAND((1L << width) - 1)
     }: _*)

@@ -129,6 +129,35 @@ class FunctionsSpec extends SparkSpec {
     assert(ap.head._2 === "property bad key! is not allowed")
   }
 
+  test("codegen MinHash/SimHash kernels ≡ HOF spec trees on real docs") {
+    import graft.operators.Dedup
+    val dir = "/root/testdata/sf0.001"
+    val sh = Dedup.corpusWords(spark, dir)
+      .select(col("doc_id"), Dedup.shinglesOf(col("w")).as("sh"),
+        col("w"))
+    // Shingles: kernel == array_distinct(transform(...)) including
+    // keep-first ordering and the short-doc empty array
+    val sg = sh.select(col("sh").as("fast"),
+      Dedup.shinglesOfHof(col("w")).as("spec"))
+      .filter(col("fast") =!= col("spec")).count()
+    assert(sg === 0)
+    // MinHash: all 96 minima from the one-pass kernel must equal the 96
+    // interpreted array_min(transform(...)) folds, hash for hash
+    val mh = sh.select(
+      Dedup.minhashSignature(col("sh")).as("fast"),
+      Dedup.minhashSignatureHof(col("sh")).as("spec"))
+      .filter(col("fast") =!= col("spec")).count()
+    assert(mh === 0)
+    // SimHash: kernel == fold-then-collapse, including the md5-top-60-bit
+    // token hash the DuckDB oracle mirrors
+    val sv = sh.select(
+      graft.functions.TextHash.simhashValue(col("w"), Dedup.SimHashBits)
+        .as("fast"),
+      Dedup.simhashFromVotes(Dedup.simhashVotes(col("w"))).as("spec"))
+      .filter(col("fast") =!= col("spec")).count()
+    assert(sv === 0)
+  }
+
   test("codegen SignLsh kernel ≡ HOF signature tree on real embeddings") {
     import graft.operators.Similarity
     val dir = "/root/testdata/sf0.001"
