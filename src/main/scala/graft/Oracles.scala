@@ -435,6 +435,57 @@ object Oracles {
        |ORDER BY qid, rank""".stripMargin
   }
 
+  /** Mirrors Similarity.knnIvf: same deterministic sampled codebook
+    * (vec_id ≡ 7 mod 31, first IvfCells by vec_id — regenerated from the
+    * same embeddings table), same integer-quantized cosine for cell
+    * assignment (exact integer dot products → identical in both
+    * engines), same nprobe cells per query, same exact-cosine re-rank.
+    */
+  val knnIvf: String = {
+    import graft.operators.Similarity.{IvfCells, IvfProbe, IvfAssign,
+      IvfCentroidMod}
+    s"""WITH cent AS (
+       |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell,
+       |    list_transform(embedding::DOUBLE[], x -> FLOOR(x*4096)) AS cq
+       |  FROM embeddings WHERE vec_id % $IvfCentroidMod = 7
+       |  ORDER BY vec_id LIMIT $IvfCells),
+       |vecq AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding::DOUBLE[], x -> FLOOR(x*4096)) AS vq
+       |  FROM embeddings),
+       |scores AS (
+       |  SELECT v.vec_id, c.cell,
+       |    list_dot_product(v.vq, c.cq) /
+       |      (sqrt(list_dot_product(v.vq, v.vq)) *
+       |       sqrt(list_dot_product(c.cq, c.cq))) AS score
+       |  FROM vecq v, cent c),
+       |assign AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |      ORDER BY score DESC, cell) AS rn FROM scores)
+       |  WHERE rn <= $IvfAssign),
+       |qprobe AS (
+       |  SELECT vec_id AS qid, cell FROM (
+       |    SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |      ORDER BY score DESC, cell) AS rn
+       |    FROM scores WHERE vec_id%50 = 0) WHERE rn <= $IvfProbe),
+       |q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+       |      WHERE vec_id%50 = 0),
+       |cand AS (
+       |  SELECT DISTINCT qp.qid, a.vec_id
+       |  FROM qprobe qp JOIN assign a ON a.cell = qp.cell
+       |  WHERE a.vec_id <> qp.qid),
+       |scored AS (
+       |  SELECT c.qid, c.vec_id, $cosineExpr AS sim
+       |  FROM cand c JOIN q ON q.qid = c.qid
+       |  JOIN embeddings e ON e.vec_id = c.vec_id),
+       |ranked AS (SELECT qid, vec_id, sim,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY qid
+       |    ORDER BY sim DESC, vec_id) AS INTEGER) AS rank FROM scored)
+       |SELECT qid, vec_id, sim, rank FROM ranked WHERE rank <= 3
+       |ORDER BY qid, rank""".stripMargin
+  }
+
   /** Mirrors Similarity.cosineDups: same perturbed corpus (×0.5 on the
     * first 8 dims, ×0.25 on the first 16 for the mid-band class — both
     * factors exact in binary), same double-precision cosine, rounded to

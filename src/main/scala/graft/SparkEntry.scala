@@ -72,6 +72,7 @@ object SparkEntry {
     // all-pairs SQL (same pattern as d_minhash_pairs vs d_jaccard_pairs)
     "e_cosine_dups" -> ((s, dir) => Similarity.cosineDupsLsh(s, dir)),
     "e_knn_lsh" -> ((s, dir) => Similarity.knnLsh(s, dir)),
+    "e_knn_ivf" -> ((s, dir) => Similarity.knnIvf(s, dir)),
     "m_media_features" -> (Multimodal.mediaFeatures _),
     "m_doc_media" -> (Multimodal.docMediaProfile _),
 
@@ -246,6 +247,7 @@ object SparkEntry {
     "e_knn_brute" -> Oracles.knnBrute,
     "e_cosine_dups" -> Oracles.cosineDups,
     "e_knn_lsh" -> Oracles.knnLsh,
+    "e_knn_ivf" -> Oracles.knnIvf,
     "m_media_features" -> Oracles.mediaFeatures,
     "m_doc_media" -> Oracles.docMediaProfile,
     "q14_parse_json" -> Oracles.parseJson,

@@ -8,6 +8,17 @@ import graft.operators.{Dedup, Multimodal, Similarity}
   * baselines (MinHash vs exact Jaccard, LSH-ANN vs brute force) and
   * against analytic expectations of the injected fixtures.
   */
+object PipelineSpec {
+  /** Measured IVF recall@3 at sf0.01 (16 cells, 2-way assignment,
+    * nprobe 4) — pinned exactly, deterministic codebook; update
+    * deliberately if the codebook parameters change. Single assignment
+    * measured only 0.5-0.6 on this isotropic corpus (neighbors scatter
+    * across thin Voronoi cells); 2-way assignment is the IVF analogue
+    * of LSH's multi-table redundancy.
+    */
+  val IvfRecall = 23.0 / 30
+}
+
 class PipelineSpec extends SparkSpec {
   import spark.implicits._
 
@@ -82,6 +93,28 @@ class PipelineSpec extends SparkSpec {
     // and it is genuinely approximate: the candidate set must be a small
     // fraction of the corpus, not a disguised brute force
     val nCand = Similarity.knnLsh(spark, dir01, k = 1000000).count()
+    assert(nCand < 500L * 10 / 2, s"candidates $nCand")
+  }
+
+  test("IVF ANN: measured recall@3 vs brute force; genuinely approximate") {
+    val dir01 = "/root/testdata/sf0.01"
+    val brute = Similarity.knnBrute(spark, dir01, k = 3)
+      .select("qid", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val ivf = Similarity.knnIvf(spark, dir01)
+      .select("qid", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val hits = brute.keys.toSeq.map(q =>
+      (brute(q) intersect ivf.getOrElse(q, Set.empty)).size).sum
+    val total = brute.values.map(_.size).sum
+    val recall = hits.toDouble / total
+    // deterministic codebook + corpus → the measurement is exact; a
+    // floor would absorb regressions silently (same rationale as the
+    // pinned LSH recall)
+    assert(recall == PipelineSpec.IvfRecall,
+      s"recall@3 = $recall ($hits/$total)")
+    // nprobe/K of the corpus per query, not a disguised brute force
+    val nCand = Similarity.knnIvf(spark, dir01, k = 1000000).count()
     assert(nCand < 500L * 10 / 2, s"candidates $nCand")
   }
 
