@@ -1,0 +1,508 @@
+// Scratch measurement harnesses behind BENCH.md's claims (HOF-CSE staging,
+// Generate cost, InferFiltersFromGenerate, sort cost, code-cache cliff,
+// variant semantics). Consolidated into one file (VERDICT r2); each object
+// keeps its Probe<N> name so BENCH.md's citations stay stable.
+
+package graft
+
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scratch: scan-only floor at two parallelism levels. */
+object Probe5 {
+  def run(cpus: Int): (Double, Double) = {
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val (d, r) = BenchData.ensureBucketed(spark, "/root/testdata/sf0.1", 4000)
+    val docs = spark.table(d)
+    val ref = spark.table(r)
+    def scan(): Unit = Bench.exec(
+      docs.select(col("doc_id"), size(col("spans")).as("n"))
+        .unionAll(ref.select(col("doc_id"), size(col("spans")).as("n"))))
+    def joinOnly(): Unit = Bench.exec(
+      docs.join(ref.select(col("doc_id"),
+        col("spans").as("ref_spans")).hint("shuffle_hash"), Seq("doc_id"))
+        .select(col("doc_id"), (size(col("spans")) +
+          size(col("ref_spans"))).as("n")))
+    scan(); joinOnly()
+    val s = (1 to 2).map(_ => Bench.time(scan())).min
+    val j = (1 to 2).map(_ => Bench.time(joinOnly())).min
+    spark.stop()
+    (s, j)
+  }
+  def main(args: Array[String]): Unit = {
+    val (s8, j8) = run(8)
+    val (s32, j32) = run(32)
+    println(f"[probe5] scan n8=$s8%.2f n32=$s32%.2f eff=${s8/s32/4}%.3f; " +
+      f"join n8=$j8%.2f n32=$j32%.2f eff=${j8/j32/4}%.3f")
+  }
+}
+
+
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scratch: does CollapseProject re-inline split() into HOF lambdas when
+  * the staging repartition barrier is removed? Counts `split(` occurrences
+  * in the physical plan with and without the barrier.
+  */
+object Probe6 {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+
+    def shingles(w: org.apache.spark.sql.Column) = {
+      val n = size(w)
+      array_distinct(when(n >= 3,
+        transform(sequence(lit(1), n - 2), i => concat_ws(" ",
+          element_at(w, i), element_at(w, i + 1), element_at(w, i + 2))))
+        .otherwise(array().cast("array<string>")))
+    }
+
+    val noBarrier = docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), shingles(col("w")).as("sh"))
+    val withBarrier = docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .repartition(4)
+      .select(col("doc_id"), shingles(col("w")).as("sh"))
+    val inline = docs
+      .select(col("doc_id"), shingles(split(col("text"), " ")).as("sh"))
+
+    def countSplit(df: org.apache.spark.sql.DataFrame): Int = {
+      val p = df.queryExecution.executedPlan.toString
+      "split\\(".r.findAllIn(p).length
+    }
+    println(s"[probe6] noBarrier=${countSplit(noBarrier)} " +
+      s"withBarrier=${countSplit(withBarrier)} inline=${countSplit(inline)}")
+    // and timing at sf0.01 to confirm
+    val d2 = Tables.documents(spark, "/root/testdata/sf0.01")
+    def nb = d2.select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), shingles(col("w")).as("sh"))
+    def wb = d2.select(col("doc_id"), split(col("text"), " ").as("w"))
+      .repartition(4)
+      .select(col("doc_id"), shingles(col("w")).as("sh"))
+    Bench.exec(nb); Bench.exec(wb)
+    val tn = Bench.time(Bench.exec(nb))
+    val tw = Bench.time(Bench.exec(wb))
+    println(f"[probe6] time noBarrier=$tn%.2f withBarrier=$tw%.2f")
+    spark.stop()
+  }
+}
+
+object ProbeRecall {
+  def main(args: Array[String]): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.builder().master("local[8]")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    import graft.operators.Similarity
+    val dir = "/root/testdata/sf0.01"
+    val brute = Similarity.knnBrute(spark, dir, k = 3)
+      .select("qid", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val lsh = Similarity.knnLsh(spark, dir)
+      .select("qid", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val hits = brute.keys.toSeq.map(q =>
+      (brute(q) intersect lsh.getOrElse(q, Set.empty)).size).sum
+    val nCand = Similarity.knnLsh(spark, dir, k = 1000000).count()
+    println(s"[recall] recall@3=${hits.toDouble / 30} candidates=$nCand of 5000 max")
+    spark.stop()
+  }
+}
+
+object ProbeCosine {
+  def main(args: Array[String]): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = "/root/testdata/sf0.1"
+    def lsh = graft.operators.Similarity.cosineDupsLsh(spark, dir)
+    Bench.exec(lsh)
+    val t = (1 to 2).map(_ => Bench.time(Bench.exec(lsh))).min
+    println(f"[cosine] lsh_sf01=$t%.2f rows=${lsh.count()}")
+    spark.stop()
+  }
+}
+
+
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.GraftBridge
+
+/** Scratch: v_json_schema with vs without the trailing sort. */
+object Probe7 {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = "/root/testdata/sf0.1"
+    def sorted = SparkEntry.queries("v_json_schema")(spark, dir)
+    def unsorted = GraftBridge.stripTopSort(sorted)
+    Bench.exec(unsorted) // warm
+    val tU = (1 to 2).map(_ => Bench.time(Bench.exec(unsorted))).min
+    val tS = (1 to 2).map(_ => Bench.time(Bench.exec(sorted))).min
+    println(f"[probe7] unsorted=$tU%.2f sorted=$tS%.2f")
+    spark.stop()
+  }
+}
+
+
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scratch: VARIANT semantics needed by the schema compiler. */
+object Probe8 {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[2]")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val df = Seq(
+      """{"a": null, "arr": [1, "x", 3], "obj": {"k1": "INFO", "k2": {"n": "WARN"}}}""",
+      """{"b": 1, "arr": [], "obj": {}}"""
+    ).toDF("j").select(parse_json(col("j")).as("v"))
+    df.select(
+      try_variant_get(col("v"), "$.a", "variant").isNull.as("a_null"),
+      try_variant_get(col("v"), "$.b", "variant").isNull.as("b_null_miss_a"),
+      schema_of_variant(try_variant_get(col("v"), "$.a", "variant")).as("a_type"),
+      is_variant_null(try_variant_get(col("v"), "$.a", "variant")).as("a_vnull"),
+      try_variant_get(col("v"), "$.arr", "array<variant>").as("arr"),
+      try_variant_get(col("v"), "$.obj", "map<string,variant>").as("obj")
+    ).show(false)
+    df.select(
+      size(try_variant_get(col("v"), "$.arr", "array<variant>")).as("arr_sz"),
+      transform(try_variant_get(col("v"), "$.arr", "array<variant>"),
+        e => schema_of_variant(e)).as("elem_types"),
+      map_keys(try_variant_get(col("v"), "$.obj", "map<string,variant>")).as("keys"),
+      to_json(try_variant_get(col("v"), "$.arr", "variant")).as("arr_json")
+    ).show(false)
+    spark.stop()
+  }
+}
+
+
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scratch: what dominates v_json_schema runtime. */
+object Probe9 {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = "/root/testdata/sf0.1"
+    val ev = Tables.events(spark, dir).select(col("event_id"), col("props"))
+    def t(name: String)(df: => org.apache.spark.sql.DataFrame): Unit = {
+      Bench.exec(df)
+      val s = (1 to 2).map(_ => Bench.time(Bench.exec(df))).min
+      println(f"[probe9] $name%-28s $s%.2f")
+    }
+    println("[probe9] rows=" + ev.count())
+    t("scan_only")(ev)
+    t("parse_json_typeof")(ev.select(col("event_id"),
+      schema_of_variant(parse_json(col("props"))).as("t")))
+    t("variant_get_k")(ev.select(col("event_id"),
+      try_variant_get(parse_json(col("props")), "$.k", "double").as("k")))
+    t("from_json_k")(ev.select(col("event_id"),
+      from_json(col("props"),
+        org.apache.spark.sql.types.StructType.fromDDL("k INT")).as("k")))
+    val compiled = graft.rules.JsonSchemaCompiler.compile(
+      """{"type":"object","required":["k"],"properties":{"k":{"type":"integer","minimum":0,"maximum":80}}}""")
+    t("staged_violations")(compiled.withViolations(ev, parse_json(col("props"))))
+    t("staged_plus_explode")(compiled.withViolations(ev, parse_json(col("props")))
+      .select(col("event_id"), explode(col("violations")).as("x")))
+    spark.stop()
+  }
+}
+
+object Probe9b {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = "/root/testdata/sf0.1"
+    val ev = Tables.events(spark, dir).select(col("event_id"), col("props"))
+    val compiled = graft.rules.JsonSchemaCompiler.compile(
+      """{"type":"object","required":["k"],"properties":{"k":{"type":"integer","minimum":0,"maximum":80}}}""")
+    def t(name: String)(df: => org.apache.spark.sql.DataFrame): Unit = {
+      Bench.exec(df)
+      val s = (1 to 2).map(_ => Bench.time(Bench.exec(df))).min
+      println(f"[probe9b] $name%-28s $s%.2f")
+    }
+    val base = compiled.withViolations(ev, parse_json(col("props")))
+    t("filter_then_explode")(base.filter(size(col("violations")) > 0)
+      .select(col("event_id"), explode(col("violations")).as("x")))
+    val gplan = base.filter(size(col("violations")) > 0)
+      .select(col("event_id"), explode(col("violations")).as("x"))
+    println("[probe9b] plan:\n" + gplan.queryExecution.executedPlan.toString.take(2500))
+    spark.stop()
+  }
+}
+
+
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scratch: minimal Generate (explode) cost on the events table. */
+object Probe10 {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = "/root/testdata/sf0.1"
+    val ev = Tables.events(spark, dir).select(col("event_id"), col("props"))
+    def t(name: String)(df: => org.apache.spark.sql.DataFrame): Unit = {
+      Bench.exec(df)
+      val s = (1 to 2).map(_ => Bench.time(Bench.exec(df))).min
+      println(f"[probe10] $name%-30s $s%.2f")
+    }
+    // simple string array explode
+    t("explode_split")(ev.select(col("event_id"),
+      explode(split(col("props"), ",")).as("x")))
+    // struct array explode, no variant involved
+    val arr = array(struct(lit("a").as("p"), lit("b").as("k")),
+      struct(lit("c").as("p"), lit("d").as("k")))
+    t("explode_struct_lit")(ev.select(col("event_id"),
+      explode(arr).as("x")))
+    // conditional empty-or-struct array (the violations shape, no variant)
+    val cond = when(col("event_id") % 97 === 0,
+      array(struct(lit("a").as("p"), lit("b").as("k"))))
+      .otherwise(array().cast("array<struct<p:string,k:string>>"))
+    t("explode_cond_struct")(ev.select(col("event_id"),
+      explode(cond).as("x")))
+    // same but computed in a prior projection
+    t("explode_cond_staged")(ev.select(col("event_id"), cond.as("v"))
+      .select(col("event_id"), explode(col("v")).as("x")))
+    // variant array: parse + cast to array<variant> + explode
+    t("explode_variant")(ev.select(col("event_id"),
+      explode(try_variant_get(parse_json(concat(lit("[") , col("props"), lit("]"))), "$", "array<variant>")).as("x")))
+    spark.stop()
+  }
+}
+
+
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scratch: which part of violations+explode interacts badly. */
+object Probe11 {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = "/root/testdata/sf0.1"
+    val ev = Tables.events(spark, dir).select(col("event_id"), col("props"))
+    val compiled = graft.rules.JsonSchemaCompiler.compile(
+      """{"type":"object","required":["k"],"properties":{"k":{"type":"integer","minimum":0,"maximum":80}}}""")
+    def t(name: String)(df: => org.apache.spark.sql.DataFrame): Unit = {
+      Bench.exec(df)
+      val s = (1 to 2).map(_ => Bench.time(Bench.exec(df))).min
+      println(f"[probe11] $name%-30s $s%.2f")
+    }
+    val base = compiled.withViolations(ev, parse_json(col("props")))
+    t("size_only")(base.select(col("event_id"),
+      size(col("violations")).as("n")))
+    t("explode_whole")(base.select(col("event_id"),
+      explode(col("violations")).as("x")))
+    // one single-struct check array, no concat
+    val oneCheck = when(
+      try_variant_get(parse_json(col("props")), "$.k", "double") > 80.0,
+      array(struct(lit("/k").as("pointer"), lit("maximum").as("keyword"))))
+      .otherwise(array().cast("array<struct<pointer:string,keyword:string>>"))
+    t("explode_one_variant_check")(ev.select(col("event_id"),
+      explode(oneCheck).as("x")))
+    // concat of 5 trivial arrays (no variant)
+    val e5 = (1 to 5).map(i => when(col("event_id") % 97 === i,
+      array(struct(lit(i.toString).as("pointer"), lit("kw").as("keyword"))))
+      .otherwise(array().cast("array<struct<pointer:string,keyword:string>>")))
+    t("explode_concat5_novariant")(ev.select(col("event_id"),
+      explode(concat(e5: _*)).as("x")))
+    // concat of 5 variant-based checks
+    val v = parse_json(col("props"))
+    val c5 = (1 to 5).map(i => when(
+      try_variant_get(v, "$.k", "double") > (90 + i).toDouble,
+      array(struct(lit(i.toString).as("pointer"), lit("kw").as("keyword"))))
+      .otherwise(array().cast("array<struct<pointer:string,keyword:string>>")))
+    t("explode_concat5_variant")(ev.select(col("event_id"),
+      explode(concat(c5: _*)).as("x")))
+    spark.stop()
+  }
+}
+
+object Probe11b {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.codegen.wholeStage", sys.env.getOrElse("WSCG", "true"))
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = "/root/testdata/sf0.1"
+    val ev = Tables.events(spark, dir).select(col("event_id"), col("props"))
+    val compiled = graft.rules.JsonSchemaCompiler.compile(
+      """{"type":"object","required":["k"],"properties":{"k":{"type":"integer","minimum":0,"maximum":80}}}""")
+    def t(name: String)(df: => org.apache.spark.sql.DataFrame): Unit = {
+      Bench.exec(df)
+      val s = (1 to 2).map(_ => Bench.time(Bench.exec(df))).min
+      println(f"[probe11b] $name%-30s $s%.2f")
+    }
+    val base = compiled.withViolations(ev, parse_json(col("props")))
+    t("explode_whole")(base.select(col("event_id"),
+      explode(col("violations")).as("x")))
+    spark.stop()
+  }
+}
+
+object Probe11c {
+  def main(args: Array[String]): Unit = {
+    val b = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+    sys.env.get("HUGE").foreach(v =>
+      b.config("spark.sql.codegen.hugeMethodLimit", v))
+    val spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = "/root/testdata/sf0.1"
+    val ev = Tables.events(spark, dir).select(col("event_id"), col("props"))
+    val compiled = graft.rules.JsonSchemaCompiler.compile(
+      """{"type":"object","required":["k"],"properties":{"k":{"type":"integer","minimum":0,"maximum":80}}}""")
+    def t(name: String)(df: => org.apache.spark.sql.DataFrame): Unit = {
+      Bench.exec(df)
+      val s = (1 to 2).map(_ => Bench.time(Bench.exec(df))).min
+      println(f"[probe11c] $name%-30s $s%.2f")
+    }
+    val base = compiled.withViolations(ev, parse_json(col("props")))
+    t("explode_whole")(base.select(col("event_id"),
+      explode(col("violations")).as("x")))
+    // flagship-shape sanity: make sure the fix doesn't hurt a fast query
+    t("q1_agg")(SparkEntry.benchQueries("q1_agg")(spark, dir))
+    spark.stop()
+  }
+}
+
+object Probe11d {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = "/root/testdata/sf0.1"
+    val ev = Tables.events(spark, dir).select(col("event_id"), col("props"))
+    val compiled = graft.rules.JsonSchemaCompiler.compile(
+      """{"type":"object","required":["k"],"properties":{"k":{"type":"integer","minimum":0,"maximum":80}}}""")
+    def t(name: String)(df: => org.apache.spark.sql.DataFrame): Unit = {
+      Bench.exec(df)
+      val s = (1 to 2).map(_ => Bench.time(Bench.exec(df))).min
+      println(f"[probe11d] $name%-30s $s%.2f")
+    }
+    val base = compiled.withViolations(ev, parse_json(col("props")))
+    t("no_explode")(base)
+    t("exchange_then_explode")(base.repartition(32)
+      .select(col("event_id"), explode(col("violations")).as("x")))
+    t("fused_explode")(base
+      .select(col("event_id"), explode(col("violations")).as("x")))
+    // explode the violations built WITHOUT any variant exprs in scope:
+    // re-create same-shape array from plain columns
+    val fake = (1 to 5).map(i => when(col("event_id") % 97 === i,
+      array(struct(lit("/k").as("pointer"), lit("kw").as("keyword"),
+        concat(lit("m"), col("props")).as("message"),
+        lit("#/x").as("schemaLocation"))))
+      .otherwise(array().cast(graft.rules.JsonSchemaCompiler.ViolationType)))
+    t("fused_explode_novariant")(ev
+      .select(col("event_id"), concat(fake: _*).as("violations"))
+      .select(col("event_id"), explode(col("violations")).as("x")))
+    spark.stop()
+  }
+}
+
+object Probe11e {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = "/root/testdata/sf0.1"
+    val ev = Tables.events(spark, dir).select(col("event_id"), col("props"))
+    val compiled = graft.rules.JsonSchemaCompiler.compile(
+      """{"type":"object","required":["k"],"properties":{"k":{"type":"integer","minimum":0,"maximum":80}}}""")
+    val df = compiled.withViolations(ev, parse_json(col("props")))
+      .select(col("event_id"), explode(col("violations")).as("x"))
+    val tPlan = Bench.time(df.queryExecution.executedPlan)
+    Bench.exec(df)
+    val tExec = (1 to 3).map(_ => Bench.time(Bench.exec(df))).min
+    println(f"[probe11e] plan=$tPlan%.2f exec_same_df=$tExec%.2f")
+    // fresh df each time (what Bench does)
+    def fresh = compiled.withViolations(ev, parse_json(col("props")))
+      .select(col("event_id"), explode(col("violations")).as("x"))
+    val tFresh = (1 to 2).map(_ => Bench.time(Bench.exec(fresh))).min
+    println(f"[probe11e] exec_fresh_df=$tFresh%.2f")
+    spark.stop()
+  }
+}
+
+object Probe11f {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = "/root/testdata/sf0.1"
+    val ev = Tables.events(spark, dir).select(col("event_id"), col("props"))
+    val compiled = graft.rules.JsonSchemaCompiler.compile(
+      """{"type":"object","required":["k"],"properties":{"k":{"type":"integer","minimum":0,"maximum":80}}}""")
+    val df = compiled.withViolations(ev, parse_json(col("props")))
+      .select(col("event_id"), explode(col("violations")).as("x"))
+    val p = df.queryExecution.executedPlan.toString
+    println("[probe11f] parse_json count: " +
+      "variantbuilder|parse_json".r.findAllIn(p.toLowerCase).length)
+    println("[probe11f] plan nodes:")
+    p.split("\n").foreach(l => println("[probe11f] " +
+      l.take(200)))
+    spark.stop()
+  }
+}
+
+object Probe11g {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = "/root/testdata/sf0.1"
+    val ev = Tables.events(spark, dir).select(col("event_id"), col("props"))
+    val compiled = graft.rules.JsonSchemaCompiler.compile(
+      """{"type":"object","required":["k"],"properties":{"k":{"type":"integer","minimum":0,"maximum":80}}}""")
+    def t(name: String)(df: => org.apache.spark.sql.DataFrame): Unit = {
+      Bench.exec(df)
+      val s = (1 to 2).map(_ => Bench.time(Bench.exec(df))).min
+      println(f"[probe11g] $name%-30s $s%.2f")
+    }
+    t("explode_with_rule_excluded")(
+      compiled.withViolations(ev, parse_json(col("props")))
+        .select(col("event_id"), explode(col("violations")).as("x")))
+    t("v_json_schema_full")(SparkEntry.benchQueries("v_json_schema")(spark, dir))
+    t("v_json_schema2_full")(SparkEntry.benchQueries("v_json_schema2")(spark, dir))
+    spark.stop()
+  }
+}
+
