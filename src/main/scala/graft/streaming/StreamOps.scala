@@ -4,7 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 import graft.checks.SpanInvariant
 
@@ -71,4 +71,45 @@ object StreamOps {
 
   final case class TimedDoc(doc_id: String,
       spans: Seq[graft.model.Span], part: String, event_time: Timestamp)
+
+  final case class FpEvent(fingerprint: String, doc_id: String,
+      event_time: Timestamp)
+  final case class FpKeep(fingerprint: String, keep_id: String)
+
+  /** Streaming exact dedup — the continuous analogue of
+    * [[graft.operators.Dedup.exactDuplicates]]: the FIRST arrival of
+    * each content fingerprint is emitted (min doc_id within its
+    * micro-batch for determinism), every later duplicate is dropped by
+    * per-fingerprint state. State is keyed on the 16-byte digest only
+    * (text never enters state) and EXPIRES one hour past the watermark
+    * via event-time timeout, so state size is bounded by the retention
+    * window's distinct-fingerprint count, not the stream's lifetime —
+    * the documented tradeoff is that a duplicate arriving after its
+    * original's state expired is re-emitted (at 100 TB an unbounded
+    * exact-dedup memory is the alternative; a compaction join against
+    * the deduped sink closes the gap).
+    */
+  def streamingDedup(docs: Dataset[FpEvent]): Dataset[FpKeep] = {
+    import docs.sparkSession.implicits._
+    docs
+      .withWatermark("event_time", "10 minutes")
+      .groupByKey(_.fingerprint)
+      .flatMapGroupsWithState[String, FpKeep](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (fp: String, events: Iterator[FpEvent],
+         state: GroupState[String]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else if (state.exists) {
+            Iterator.empty // duplicates of an already-emitted doc
+          } else {
+            val first = events.minBy(e => (e.doc_id, e.event_time.getTime))
+            state.update(first.doc_id)
+            state.setTimeoutTimestamp(
+              first.event_time.getTime + 60L * 60 * 1000)
+            Iterator.single(FpKeep(fp, first.doc_id))
+          }
+      }
+  }
 }

@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 
 import graft.model.{Doc, Span}
 import graft.streaming.StreamOps
-import graft.streaming.StreamOps.{PartEvent, TimedDoc}
+import graft.streaming.StreamOps.{FpEvent, PartEvent, TimedDoc}
 
 class StreamingSpec extends SparkSpec {
   import spark.implicits._
@@ -56,6 +56,27 @@ class StreamingSpec extends SparkSpec {
         .select("part", "docs", "invalid_docs")
         .as[(String, Long, Long)].collect().toSet
       assert(rows === Set(("p1", 2L, 1L), ("p2", 1L, 0L)))
+    } finally q.stop()
+  }
+
+  test("streaming exact dedup: first fingerprint arrival wins, " +
+      "later duplicates drop (flatMapGroupsWithState)") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[FpEvent]
+    val out = StreamOps.streamingDedup(input.toDS())
+    val q = out.writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    try {
+      // batch 1: f1 arrives twice (b then a — min doc_id wins), f2 once
+      input.addData(FpEvent("f1", "b", ts(1)), FpEvent("f1", "a", ts(0)),
+        FpEvent("f2", "c", ts(2)))
+      q.processAllAvailable()
+      // batch 2: f1 again (duplicate → dropped), f3 new
+      input.addData(FpEvent("f1", "d", ts(3)), FpEvent("f3", "e", ts(4)))
+      q.processAllAvailable()
+      val rows = spark.table("dedup")
+        .as[(String, String)].collect().toSet
+      assert(rows === Set(("f1", "a"), ("f2", "c"), ("f3", "e")))
     } finally q.stop()
   }
 
