@@ -143,7 +143,7 @@ object JsonSchemaCompiler {
       // stage 1: parse once — `__v` is referenced by every extraction,
       // so CollapseProject cannot inline the parse
       val s1 = df.select(keep.map(col) :+ variantExpr.as("__v"): _*)
-      // stage 2: each distinct extraction once (each behind the barrier —
+      // stage 2: each distinct extraction once (each a staged alias —
       // the typeof extractions alone are 7-way CASE chains over
       // schema_of_variant and would otherwise bloat the fused method)
       val extCols = exts.zipWithIndex.map { case (e, i) =>
