@@ -77,13 +77,19 @@ case class Shingles(child: Expression, n: Int) extends UnaryExpression {
   override def prettyName: String = "word_shingles"
 }
 
-/** MinHash kernel: per shingle, the seed-k hash is Spark's
-  * `xxhash64(lit(k), shingle)` — XXH64 of the int seed folded into the
-  * 42 start seed, then XXH64 of the UTF8 bytes (the exact semantics of
-  * the XxHash64 expression, so the kernel equals the HOF
-  * `array_min(transform(sh, xxhash64(lit(k), x)))` per seed). The
-  * per-seed int prefix is hoisted (it is constant), and all `numHashes`
-  * minima update in ONE pass over the shingle array.
+/** MinHash kernel: ONE full string hash per shingle (`xxhash64(x)`,
+  * default seed 42), then the seed-k value is an XXH64 long remix of
+  * that base — the exact semantics of Spark's
+  * `xxhash64(lit(k), xxhash64(x))` (hashInt of the k literal folded
+  * into the 42 start seed, hoisted per seed since it is constant, then
+  * hashLong of the base). A per-seed remix of a common 64-bit base is
+  * the standard production MinHash family: the S-curve depends only on
+  * the per-hash collision probability (= Jaccard), which any family of
+  * independent-looking permutations of a collision-free base preserves
+  * (base collisions are 2⁻⁶⁴); fixture recall is re-verified at 1.0 at
+  * sf0.01 AND sf0.1. The r3-initial kernel hashed the full string once
+  * PER SEED — 96 string hashes per shingle; this does 1 string hash +
+  * 96 single-long mixes. All minima update in ONE pass.
   */
 final class MinHashKernel(numHashes: Int) extends Serializable {
   private val seedH: Array[Long] =
@@ -96,10 +102,10 @@ final class MinHashKernel(numHashes: Int) extends Serializable {
     val mins = Array.fill(numHashes)(Long.MaxValue)
     var i = 0
     while (i < n) {
-      val s = sh.getUTF8String(i)
+      val base = XXH64.hashUTF8String(sh.getUTF8String(i), 42L)
       var k = 0
       while (k < numHashes) {
-        val h = XXH64.hashUTF8String(s, seedH(k))
+        val h = XXH64.hashLong(base, seedH(k))
         if (h < mins(k)) mins(k) = h
         k += 1
       }

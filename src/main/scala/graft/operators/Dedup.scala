@@ -127,7 +127,9 @@ object Dedup {
   val BandSize = 3
 
   /** MinHash signature matrix, HOF spec form: min over shingles of
-    * xxhash64(seed, shingle) per seed. The production path is the
+    * xxhash64(seed, xxhash64(shingle)) per seed — one full string hash
+    * per shingle, remixed per seed (see the MinHashKernel Scaladoc for
+    * why this family preserves the S-curve). The production path is the
     * [[graft.functions.TextHash.minhashSignature]] codegen kernel — one
     * pass over the shingle array updating all 96 minima (the 96 separate
     * interpreted folds here were the dominant cost of d_minhash_pairs);
@@ -135,7 +137,7 @@ object Dedup {
     */
   def minhashSignatureHof(sh: Column): Column =
     array((0 until NumHashes).map { seed =>
-      array_min(transform(sh, x => xxhash64(lit(seed), x)))
+      array_min(transform(sh, x => xxhash64(lit(seed), xxhash64(x))))
     }: _*)
 
   /** Production MinHash signature: one-pass codegen kernel. */
