@@ -184,9 +184,14 @@ object Dedup {
     // but both sides are then candidate-bounded, never corpus-sized.)
     val candIds = cand.select(col("id_a").as("doc_id"))
       .unionAll(cand.select(col("id_b").as("doc_id"))).distinct()
+    // semi-join BEFORE the shingle projection: a projection below the
+    // join would re-shingle the entire corpus and then discard every
+    // non-candidate row (Catalyst does not push semi-joins under
+    // projections) — candidates are the small side, so shingles are
+    // recomputed for candidate docs only
     val sh = corpusWords(s, dir)
-      .select(col("doc_id"), shinglesOf(col("w")).as("sh"))
       .join(broadcast(candIds), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), shinglesOf(col("w")).as("sh"))
     val withA = broadcast(cand)
       .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")),
         Seq("id_a"))
