@@ -371,6 +371,49 @@ object Oracles {
       |    AS bucket
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Mirrors TextOps.pipelineKeep over the SAME duplicated corpus: the
+    * langId argmax CASE, the quality composite (decimal sums here vs
+    * double sums in Spark — the composite only takes values in
+    * {0, .3, .4, .6, .7, 1.0}, where the two arithmetics order
+    * identically against the 0.7 threshold; ROUND(·,4) normalizes the
+    * output), the 'en' + quality filter, then min-id dedup on the
+    * normalized-content md5.
+    */
+  val pipelineKeep: String = corpusCte +
+    """
+      |, sig AS (
+      |  SELECT doc_id, text,
+      |    CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+      |         WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr
+      |           THEN 'de'
+      |         WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+      |         WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END AS lang_pred,
+      |    ROUND(CAST(CASE WHEN n_tokens >= 10 THEN 0.4 ELSE 0.0 END +
+      |          CASE WHEN punct_ratio <= 0.1 THEN 0.3 ELSE 0.0 END +
+      |          CASE WHEN stop_ratio >= 0.05 THEN 0.3 ELSE 0.0 END
+      |          AS DOUBLE), 4) AS quality_score
+      |  FROM (
+      |    SELECT doc_id, text,
+      |      len(list_filter(w, t -> t IN ('der','die','und','das')))
+      |        AS s_de,
+      |      len(list_filter(w, t -> t IN ('the','a','and','of'))) AS s_en,
+      |      len(list_filter(w, t -> t IN ('el','la','los','de'))) AS s_es,
+      |      len(list_filter(w, t -> t IN ('le','la','les','et'))) AS s_fr,
+      |      len(w) AS n_tokens,
+      |      (length(text) - length(regexp_replace(text, '[^a-z ]', '',
+      |        'g'))) / CAST(length(text) AS DOUBLE) AS punct_ratio,
+      |      len(list_filter(w, t -> t IN ('der','die','und','das','the',
+      |        'a','and','of','el','la','los','de','le','les','et')))
+      |        / CAST(len(w) AS DOUBLE) AS stop_ratio
+      |    FROM (SELECT doc_id, text, string_split(text,' ') AS w
+      |          FROM corpus)))
+      |SELECT MIN(doc_id) AS keep_id, CAST(COUNT(*) AS BIGINT) AS copies,
+      |  MIN(quality_score) AS quality_score
+      |FROM sig
+      |WHERE lang_pred = 'en' AND quality_score >= 0.7
+      |GROUP BY md5(lower(trim(regexp_replace(text, ' +', ' ', 'g'))))
+      |ORDER BY keep_id""".stripMargin
+
   private val cosineExpr =
     """ROUND(list_dot_product(qe::DOUBLE[], embedding::DOUBLE[]) /
       |      (sqrt(list_dot_product(qe::DOUBLE[], qe::DOUBLE[])) *

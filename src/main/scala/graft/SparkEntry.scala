@@ -67,6 +67,7 @@ object SparkEntry {
     "d_quality" -> (TextOps.quality _),
     "d_tokens" -> (TextOps.tokenCounts _),
     "d_fingerprint" -> (TextOps.fingerprints _),
+    "d_pipeline_keep" -> (TextOps.pipelineKeep _),
     "e_knn_brute" -> ((s, dir) => Similarity.knnBrute(s, dir)),
     // gated on the LSH scale path; the oracle is the independent exact
     // all-pairs SQL (same pattern as d_minhash_pairs vs d_jaccard_pairs)
@@ -244,6 +245,7 @@ object SparkEntry {
     "d_quality" -> Oracles.quality,
     "d_tokens" -> Oracles.tokenCounts,
     "d_fingerprint" -> Oracles.fingerprints,
+    "d_pipeline_keep" -> Oracles.pipelineKeep,
     "e_knn_brute" -> Oracles.knnBrute,
     "e_cosine_dups" -> Oracles.cosineDups,
     "e_knn_lsh" -> Oracles.knnLsh,

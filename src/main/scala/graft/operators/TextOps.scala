@@ -7,8 +7,15 @@ import graft.Tables
 
 /** Text analysis for training-data pipelines: language ID (stopword
   * n-gram heuristic), quality scoring, token counting, document
-  * fingerprinting. All single-projection, codegen'd, shuffle-free — at
+  * fingerprinting, and the composed keep-sweep. All single-projection,
+  * codegen'd, shuffle-free except the digest-keyed dedup agg — at
   * 100 TB these run at scan speed.
+  *
+  * Every query stages the words array as a named alias (`w`) before the
+  * HOF filters consume it: HOF arguments get NO common-subexpression
+  * elimination, so an inline `split(text)` would re-run once per
+  * `filter()` call (BENCH.md note 2; CollapseProject keeps the
+  * multi-referenced alias staged — Probe6).
   */
 object TextOps {
 
@@ -22,58 +29,89 @@ object TextOps {
     "es" -> Seq("el", "la", "los", "de"),
     "fr" -> Seq("le", "la", "les", "et"))
 
-  private def stopwordCount(tokens: Column, words: Seq[String]): Column =
-    size(filter(tokens, t => t.isin(words.map(lit): _*)))
+  private def stopwordCount(w: Column, words: Seq[String]): Column =
+    size(filter(w, t => t.isin(words.map(lit): _*)))
 
-  /** Language ID: per-language stopword hit counts, argmax with
-    * deterministic tie-break, "und" when no stopwords hit at all.
-    */
-  def langId(s: SparkSession, dir: String): DataFrame = {
-    val tokens = split(col("text"), " ")
-    val scores = Stopwords.map { case (lang, words) =>
-      lang -> stopwordCount(tokens, words)
+  /** Per-language stopword hit counts over a staged words column. */
+  def langScores(w: Column): Seq[(String, Column)] =
+    Stopwords.map { case (lang, words) =>
+      lang -> stopwordCount(w, words)
     }
-    val Seq(de, en, es, fr) = scores.map(_._2)
+
+  /** Language prediction: argmax with deterministic tie-break toward the
+    * earlier catalog entry, "und" when no stopwords hit at all.
+    */
+  def langPredOf(w: Column): Column = {
+    val Seq(de, en, es, fr) = langScores(w).map(_._2)
     val best =
       when(de >= en && de >= es && de >= fr, "de")
         .when(en >= es && en >= fr, "en")
         .when(es >= fr, "es")
         .otherwise("fr")
-    Tables.documents(s, dir).select(
-      col("doc_id"),
-      de.as("s_de"), en.as("s_en"), es.as("s_es"), fr.as("s_fr"),
-      when(greatest(de, en, es, fr) === 0, "und").otherwise(best)
-        .as("lang_pred"))
+    when(greatest(de, en, es, fr) === 0, "und").otherwise(best)
+  }
+
+  /** Composite quality score over (text, staged words): long enough, low
+    * punctuation, some stopwords — the length/punct/stopword-ratio
+    * heuristics used to filter web corpora. Rounded to 4.
+    */
+  def qualityScoreOf(text: Column, w: Column): Column = {
+    val nTok = size(w)
+    val nChar = length(text)
+    val nonAlpha = nChar - length(regexp_replace(text, "[^a-z ]", ""))
+    val stops = stopwordCount(w, Stopwords.flatMap(_._2).distinct)
+    val punctRatio = nonAlpha / nChar.cast("double")
+    val stopRatio = stops / nTok.cast("double")
+    round(
+      when(nTok >= 10, 0.4).otherwise(0.0) +
+      when(punctRatio <= 0.1, 0.3).otherwise(0.0) +
+      when(stopRatio >= 0.05, 0.3).otherwise(0.0), 4)
+  }
+
+  /** md5 over whitespace-normalized lowercased text — the exact-match
+    * content key (digests shuffle, text never does).
+    */
+  def normFingerprint(text: Column): Column =
+    md5(lower(trim(regexp_replace(text, " +", " "))))
+
+  private def withWords(df: DataFrame): DataFrame =
+    df.select(col("doc_id"), col("text"),
+      split(col("text"), " ").as("w"))
+
+  /** Language ID: per-language stopword hit counts, argmax with
+    * deterministic tie-break, "und" when no stopwords hit at all.
+    */
+  def langId(s: SparkSession, dir: String): DataFrame = {
+    val scored = langScores(col("w")).map { case (lang, c) =>
+      c.as(s"s_$lang")
+    }
+    withWords(Tables.documents(s, dir))
+      .select(col("doc_id") +: scored :+
+        langPredOf(col("w")).as("lang_pred"): _*)
       .orderBy(col("doc_id"))
   }
 
   /** Quality scoring: token count, char count, punctuation ratio, stopword
-    * ratio, mean token length, and a composite score — the length/punct/
-    * stopword-ratio heuristics used to filter web corpora.
+    * ratio, mean token length, and the composite score.
     */
   def quality(s: SparkSession, dir: String): DataFrame = {
     val text = col("text")
-    val tokens = split(text, " ")
-    val nTok = size(tokens)
+    val w = col("w")
+    val nTok = size(w)
     val nChar = length(text)
     val nonAlpha = nChar - length(regexp_replace(text, "[^a-z ]", ""))
-    val stops = stopwordCount(tokens,
-      Stopwords.flatMap(_._2).distinct)
+    val stops = stopwordCount(w, Stopwords.flatMap(_._2).distinct)
     val meanTokLen = (nChar - (nTok - 1)) / nTok.cast("double")
     val punctRatio = nonAlpha / nChar.cast("double")
     val stopRatio = stops / nTok.cast("double")
-    Tables.documents(s, dir).select(
+    withWords(Tables.documents(s, dir)).select(
       col("doc_id"),
       nTok.as("n_tokens"),
       nChar.as("n_chars_actual"),
       round(punctRatio, 4).as("punct_ratio"),
       round(stopRatio, 4).as("stopword_ratio"),
       round(meanTokLen, 4).as("mean_token_len"),
-      // composite: long enough, low punctuation, some stopwords
-      round(
-        when(nTok >= 10, 0.4).otherwise(0.0) +
-        when(punctRatio <= 0.1, 0.3).otherwise(0.0) +
-        when(stopRatio >= 0.05, 0.3).otherwise(0.0), 4).as("quality_score"))
+      qualityScoreOf(text, w).as("quality_score"))
       .orderBy(col("doc_id"))
   }
 
@@ -91,16 +129,39 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
-  /** Document fingerprinting: md5 over whitespace-normalized lowercased
-    * text plus a 16-bit prefix bucket — the join key for cross-corpus
-    * exact matching at scale (digests shuffle, text never does).
+  /** Document fingerprinting: [[normFingerprint]] plus a 16-bit prefix
+    * bucket — the join key for cross-corpus exact matching at scale.
     */
   def fingerprints(s: SparkSession, dir: String): DataFrame = {
-    val norm = lower(trim(regexp_replace(col("text"), " +", " ")))
+    val fp = normFingerprint(col("text"))
     Tables.documents(s, dir).select(
       col("doc_id"),
-      md5(norm).as("fingerprint"),
-      substring(md5(norm), 1, 4).as("bucket"))
+      fp.as("fingerprint"),
+      substring(fp, 1, 4).as("bucket"))
       .orderBy(col("doc_id"))
   }
+
+  /** The composed training-data keep-sweep — the shape a real corpus
+    * pipeline runs end-to-end: per-doc signals in ONE projection
+    * (language ID + quality composite over a staged words array), a
+    * scan-level filter (English, quality ≥ 0.7), then exact dedup of
+    * the survivors keyed on the normalized-content digest (min doc_id
+    * wins, multiplicity kept). Runs over the duplicated [[Dedup.corpus]]
+    * so the dedup stage has real work. At 100 TB: one full-scan
+    * projection+filter (no shuffle), then a hash agg where only
+    * (16-byte digest, id, score) rows cross the wire — the text never
+    * shuffles.
+    */
+  def pipelineKeep(s: SparkSession, dir: String): DataFrame =
+    withWords(Dedup.corpus(s, dir))
+      .select(col("doc_id"), col("text"),
+        langPredOf(col("w")).as("lang_pred"),
+        qualityScoreOf(col("text"), col("w")).as("quality_score"))
+      .filter(col("lang_pred") === "en" && col("quality_score") >= 0.7)
+      .groupBy(normFingerprint(col("text")).as("fingerprint"))
+      .agg(min(col("doc_id")).as("keep_id"),
+        count(lit(1)).as("copies"),
+        min(col("quality_score")).as("quality_score"))
+      .select(col("keep_id"), col("copies"), col("quality_score"))
+      .orderBy(col("keep_id"))
 }
