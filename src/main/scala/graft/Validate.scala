@@ -114,7 +114,8 @@ object Validate {
             // (YamlSchemaValidator.java:327-331)
             Left("HTTP request failed with status code 404")
           else
-            try Right(JsonSchemaCompiler.compile(readSchema(u)))
+            try Right(JsonSchemaCompiler.compile(readSchema(u),
+              baseDir = Option(Paths.get(u).toAbsolutePath.getParent)))
             catch {
               case e: java.nio.file.NoSuchFileException =>
                 Left(s"NoSuchFileException: ${e.getMessage}")

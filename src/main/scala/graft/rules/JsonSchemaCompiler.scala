@@ -3,6 +3,8 @@ package graft.rules
 import scala.jdk.CollectionConverters._
 
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+import com.fasterxml.jackson.dataformat.yaml.YAMLFactory
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
@@ -49,14 +51,93 @@ import org.apache.spark.sql.functions._
   */
 object JsonSchemaCompiler {
 
-  /** Schema uses a `$ref` form the compiler cannot resolve (remote /
-    * relative / non-fragment). Thrown at compile time; the CLI catches it
-    * and emits a per-document error row.
+  /** Schema uses a `$ref` form the compiler cannot resolve (remote, or
+    * relative-file without a base directory, or a missing fragment).
+    * Thrown at compile time; the CLI catches it and emits a per-document
+    * error row.
     */
   final class UnsupportedRefException(msg: String)
       extends IllegalArgumentException(msg)
 
   private val mapper = new ObjectMapper()
+  private val yamlMapper = new ObjectMapper(new YAMLFactory())
+
+  private def readSchemaDoc(p: java.nio.file.Path): JsonNode = {
+    val text = java.nio.file.Files.readString(p)
+    try mapper.readTree(text)
+    catch { case _: Exception => yamlMapper.readTree(text) }
+  }
+
+  /** Inline relative-FILE `$ref`s (NetworkNT resolves these against the
+    * schema's own location) before compilation, so the compiled document
+    * is self-contained and the existing intra-document machinery applies
+    * unchanged. `external = true` means `node` came from a referenced
+    * document, where `#/` fragments must resolve against THAT document's
+    * root (`docRoot`) immediately — in the main document they are left
+    * for the compiler's bounded lazy resolution. `budget` bounds total
+    * expansion depth: a cyclic or over-deep chain degrades to the empty
+    * schema (always valid), the same policy as the compiler's bounded
+    * `$ref` unrolling. Remote (scheme-carrying) refs throw — the CLI
+    * surfaces them as per-doc error rows.
+    */
+  private def inlineFileRefs(node: JsonNode, docRoot: JsonNode,
+      dir: java.nio.file.Path, budget: Int, external: Boolean): JsonNode =
+    node match {
+      case o: ObjectNode if o.has("$ref") &&
+          o.get("$ref").asText().startsWith("#/") =>
+        if (!external) node
+        else if (budget <= 0) mapper.createObjectNode()
+        else {
+          val target = o.get("$ref").asText().stripPrefix("#/")
+            .split('/').foldLeft(docRoot)((n, seg) =>
+              if (n == null) null else n.get(seg))
+          if (target == null)
+            throw new UnsupportedRefException(
+              s"Reference ${o.get("$ref").asText()} cannot be resolved " +
+                "in the referenced document")
+          inlineFileRefs(target, docRoot, dir, budget - 1, external = true)
+        }
+      case o: ObjectNode if o.has("$ref") =>
+        val ref = o.get("$ref").asText()
+        if (ref.contains("://"))
+          throw new UnsupportedRefException(
+            s"Reference $ref cannot be resolved: only intra-document " +
+              "'#/' and relative-file refs are supported")
+        if (budget <= 0) mapper.createObjectNode()
+        else {
+          val (file, frag) = ref.span(_ != '#')
+          val p = dir.resolve(file)
+          val extRoot =
+            try readSchemaDoc(p)
+            catch {
+              case e: Exception => throw new UnsupportedRefException(
+                s"Reference $ref cannot be resolved: ${e.getMessage}")
+            }
+          val target = frag.stripPrefix("#").stripPrefix("/") match {
+            case "" => extRoot
+            case path => path.split('/').foldLeft(extRoot)((n, seg) =>
+              if (n == null) null else n.get(seg))
+          }
+          if (target == null)
+            throw new UnsupportedRefException(
+              s"Reference $ref cannot be resolved: fragment not found")
+          inlineFileRefs(target, extRoot, p.getParent, budget - 1,
+            external = true)
+        }
+      case o: ObjectNode =>
+        val out = mapper.createObjectNode()
+        o.fields().asScala.foreach { e =>
+          out.set[JsonNode](e.getKey,
+            inlineFileRefs(e.getValue, docRoot, dir, budget, external))
+        }
+        out
+      case a: ArrayNode =>
+        val out = mapper.createArrayNode()
+        a.elements().asScala.foreach(el =>
+          out.add(inlineFileRefs(el, docRoot, dir, budget, external)))
+        out
+      case other => other
+    }
 
   val ViolationType =
     "array<struct<pointer:string,keyword:string,message:string," +
@@ -166,10 +247,20 @@ object JsonSchemaCompiler {
   /** Compile a schema document. `maxRefDepth` bounds recursive `$ref`
     * unrolling (the reference's one recursive case, loggerLevelProp,
     * nests ≤ 3 in its fixtures); beyond the bound a recursive branch is
-    * treated as valid.
+    * treated as valid. When `baseDir` is given, relative-FILE `$ref`s
+    * are resolved against it ([[inlineFileRefs]] — NetworkNT resolves
+    * refs against the schema's own location); without it, only `#/`
+    * refs are supported (non-local refs throw, and the CLI turns that
+    * into a per-doc error row).
     */
-  def compile(schemaJson: String, maxRefDepth: Int = 3): CompiledSchema = {
-    val root = mapper.readTree(schemaJson)
+  def compile(schemaJson: String, maxRefDepth: Int = 3,
+      baseDir: Option[java.nio.file.Path] = None): CompiledSchema = {
+    val root0 = mapper.readTree(schemaJson)
+    val root = baseDir match {
+      case Some(d) =>
+        inlineFileRefs(root0, root0, d, maxRefDepth * 2, external = false)
+      case None => root0
+    }
     // NetworkNT prefixes schemaLocation with the schema's base URI when
     // an `$id` is declared (golden invalidyaml.json: "urn:example:10#/
     // properties/..."); without one, locations stay bare "#/..." (all

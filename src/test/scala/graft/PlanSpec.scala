@@ -114,13 +114,26 @@ class PlanSpec extends SparkSpec {
       }.flatten.distinct
       finally spark.conf.set("spark.sql.adaptive.enabled", "true")
     }
-    import graft.operators.{Dedup, Similarity}
+    import graft.operators.{Dedup, Similarity, TextOps}
     for ((name, cols) <- Seq(
         "cosineDupsLsh" -> shuffledArrays(Similarity.cosineDupsLsh(spark, dir)),
         "knnLsh" -> shuffledArrays(Similarity.knnLsh(spark, dir)),
+        "knnIvf" -> shuffledArrays(Similarity.knnIvf(spark, dir)),
         "minhashCandidates" -> shuffledArrays(Dedup.minhashCandidates(spark, dir)),
         "simhashPairs" -> shuffledArrays(Dedup.simhashPairs(spark, dir))))
       assert(cols.isEmpty, s"$name shuffles array columns: $cols")
+    // the keep-sweep's only shuffle is the digest-keyed dedup agg —
+    // document text (and the staged words array) must never cross the
+    // wire; the signals+filter run at scan speed before the exchange
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val keepCols =
+      try TextOps.pipelineKeep(spark, dir).queryExecution.executedPlan
+        .collect { case e: ShuffleExchangeExec => e.output.map(_.name) }
+        .flatten.distinct
+      finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert(!keepCols.exists(c => c == "text" || c == "w"),
+      s"pipelineKeep shuffles document payloads: $keepCols")
   }
 
   test("partial aggregation happens map-side before the shuffle") {

@@ -270,6 +270,47 @@ class ValidateCliSpec extends SparkSpec {
     assert(Catalog.loadSnapshot(None) eq Catalog.bundled)
   }
 
+  test("relative-file $ref resolves against the schema's directory, " +
+      "including the referenced doc's own intra-doc refs") {
+    val d = Files.createTempDirectory("graft-fileref")
+    // b.yaml (YAML schema, chained: pos -> #/defs/base inside b itself)
+    Files.writeString(d.resolve("b.yaml"),
+      """defs:
+        |  base:
+        |    type: integer
+        |    minimum: 1
+        |  pos:
+        |    $ref: "#/defs/base"
+        |""".stripMargin)
+    Files.writeString(d.resolve("a.json"),
+      """{"type":"object","required":["k"],
+        |"properties":{"k":{"$ref":"b.yaml#/defs/pos"}}}"""
+        .stripMargin.replace("\n", ""))
+    Files.writeString(d.resolve("bad.yaml"),
+      "$schema: ./a.json\nk: 0\n")
+    Files.writeString(d.resolve("good.yaml"),
+      "$schema: ./a.json\nk: 3\n")
+    val (rows, summary) = Validate.runFull(spark,
+      Seq(d.resolve("bad.yaml").toString, d.resolve("good.yaml").toString),
+      schema = None, autoDetect = false)
+    assert(summary.docs === 2 && summary.invalidDocs === 1)
+    val bad = rows.find(!_.valid).get
+    assert(bad.details.exists(dd => dd.instanceLocation == "/k" &&
+      dd.errors.exists(_._2.contains("minimum"))), bad.toString)
+    // a cyclic file-ref chain degrades to the empty schema (bounded),
+    // never a crash or infinite loop
+    Files.writeString(d.resolve("cyc1.json"),
+      """{"properties":{"k":{"$ref":"cyc2.json#/properties/k"}}}""")
+    Files.writeString(d.resolve("cyc2.json"),
+      """{"properties":{"k":{"$ref":"cyc1.json#/properties/k"}}}""")
+    Files.writeString(d.resolve("cdoc.yaml"),
+      "$schema: ./cyc1.json\nk: anything\n")
+    val (_, cs) = Validate.runFull(spark,
+      Seq(d.resolve("cdoc.yaml").toString), schema = None,
+      autoDetect = false)
+    assert(cs.docs === 1 && cs.allValid)
+  }
+
   test("unsupported non-local $ref is error-as-data: invalid row with a " +
       "message, run continues (VERDICT r2 missing #5)") {
     val d = Files.createTempDirectory("graft-ref")
