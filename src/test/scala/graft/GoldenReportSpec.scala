@@ -73,6 +73,41 @@ class GoldenReportSpec extends SparkSpec {
     }
   }
 
+  // the reference's UNIT-level goldens (FilesOutputToJunitTest
+  // .testToJunitString_InvalidFilesWithDetails / FilesOutputToSarifTest):
+  // a directly-constructed result map keyed by bare filename, with the
+  // JSONPath-form instanceLocation ("$.sample.boolean-sample") NetworkNT
+  // emits in that configuration — the renderers must reproduce
+  // testreport/test1junit.xml and test1sarif.sarif from the same input
+  test("reference unit goldens: test1junit.xml and test1sarif.sarif") {
+    val rows = Seq(VerdictRow("invalid.yaml", valid = false, details = Seq(
+      Detail("/properties/sample/properties/boolean-sample",
+        "urn:example:10#/properties/sample/properties/boolean-sample",
+        "$.sample.boolean-sample",
+        Seq("type" -> "integer found, boolean expected")))))
+    val summary = Reports.RunSummary(1, 0, 1, 1)
+    assertGolden(Reports.renderJunit(rows, summary), "test1junit.xml")
+    // test1sarif.sarif predates Jackson 3: key ORDER differs (and its
+    // invocation has no timestamps), so parity is semantic JSON equality
+    // — parsed trees compared after dropping the run-specific timestamp
+    // fields, the JSON analogue of XmlCompareUtil's timestamp blanking
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def tree(s: String): com.fasterxml.jackson.databind.JsonNode = {
+      val n = mapper.readTree(s)
+      n.findParents("startTimeUtc").forEach {
+        case o: com.fasterxml.jackson.databind.node.ObjectNode =>
+          o.remove("startTimeUtc"); o.remove("endTimeUtc")
+        case _ =>
+      }
+      n
+    }
+    val actual = tree(Reports.renderSarif(rows, summary))
+    val golden = tree(
+      Files.readString(Paths.get(goldens + "test1sarif.sarif")))
+    assert(actual === golden,
+      s"\n--- test1sarif semantic mismatch ---\n$actual\n---\n$golden")
+  }
+
   // --- renderer unit shapes (no Spark) ---------------------------------
   private val errRows = Seq(
     VerdictRow("multi3invalid.yaml-1", valid = true),
