@@ -566,6 +566,44 @@ object Oracles {
       |  CAST(32 + (x%5)*16 AS INTEGER) AS height
       |FROM generate_series(0,49) t(x) ORDER BY media_ref""".stripMargin
 
+  /** Mirrors Multimodal.resizePlan: identical IEEE double scale math
+    * (LEAST of 1 and 64/dim as doubles, FLOOR of the product).
+    */
+  val mediaResize: String =
+    """WITH media AS (
+      |  SELECT 'm'||CAST(x AS VARCHAR) AS media_ref,
+      |    CAST(32 + (x%8)*16 AS INTEGER) AS width,
+      |    CAST(32 + (x%5)*16 AS INTEGER) AS height
+      |  FROM generate_series(0,49) t(x))
+      |SELECT media_ref, width, height,
+      |  CAST(GREATEST(1, FLOOR(CAST(width AS DOUBLE) * s)) AS INTEGER)
+      |    AS out_w,
+      |  CAST(GREATEST(1, FLOOR(CAST(height AS DOUBLE) * s)) AS INTEGER)
+      |    AS out_h
+      |FROM (SELECT *, LEAST(CAST(1 AS DOUBLE),
+      |    CAST(64 AS DOUBLE)/CAST(width AS DOUBLE),
+      |    CAST(64 AS DOUBLE)/CAST(height AS DOUBLE)) AS s FROM media)
+      |ORDER BY media_ref""".stripMargin
+
+  /** Mirrors Multimodal.frameSample: same metadata-derived frame count,
+    * same uniform stride, same per-frame digest.
+    */
+  val mediaFrameSample: String =
+    """WITH media AS (
+      |  SELECT 'm'||CAST(x AS VARCHAR) AS media_ref,
+      |    32 + (x%8)*16 AS width, 32 + (x%5)*16 AS height
+      |  FROM generate_series(0,49) t(x)),
+      |frames AS (
+      |  SELECT media_ref,
+      |    CAST((width + height) // 16 AS INTEGER) AS n_frames,
+      |    CAST(CEIL(((width + height) // 16) / 4.0) AS INTEGER) AS stride
+      |  FROM media)
+      |SELECT media_ref, n_frames, CAST(u.i AS INTEGER) AS frame_idx,
+      |  md5(media_ref||'-'||CAST(u.i AS VARCHAR)) AS frame_hash
+      |FROM frames, LATERAL unnest(generate_series(0, n_frames - 1,
+      |  stride)) u(i)
+      |ORDER BY media_ref, frame_idx""".stripMargin
+
   val docMediaProfile: String = spanCtes +
     """
       |, media AS (

@@ -76,6 +76,8 @@ object SparkEntry {
     "e_knn_ivf" -> ((s, dir) => Similarity.knnIvf(s, dir)),
     "m_media_features" -> (Multimodal.mediaFeatures _),
     "m_doc_media" -> (Multimodal.docMediaProfile _),
+    "m_resize" -> (Multimodal.resizePlan _),
+    "m_frame_sample" -> (Multimodal.frameSample _),
 
     // ---- validation engine ----------------------------------------------
     "v_span_verdicts" -> ((s, dir) => {
@@ -252,6 +254,8 @@ object SparkEntry {
     "e_knn_ivf" -> Oracles.knnIvf,
     "m_media_features" -> Oracles.mediaFeatures,
     "m_doc_media" -> Oracles.docMediaProfile,
+    "m_resize" -> Oracles.mediaResize,
+    "m_frame_sample" -> Oracles.mediaFrameSample,
     "q14_parse_json" -> Oracles.parseJson,
     "v_drift" -> Oracles.drift,
     "v_routing_default" -> Oracles.routingDefault,

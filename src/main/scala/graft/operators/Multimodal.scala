@@ -64,6 +64,73 @@ object Multimodal {
       math.round(sum.toDouble / m.payload.length * 10000).toDouble / 10000)
   }
 
+  /** Resize box: fit within MaxDim × MaxDim, never upscale. */
+  val MaxDim = 64
+
+  /** Resize plan — the metadata math (scale factor, output dims) is pure
+    * Column arithmetic (IEEE doubles, identical in the DuckDB oracle);
+    * the payload re-encode itself is the per-partition stubbed batch
+    * pass [[resizePayloads]], same split as decode/feature-extract.
+    */
+  def resizePlan(s: SparkSession, dir: String): DataFrame = {
+    val w = col("width").cast("double")
+    val h = col("height").cast("double")
+    val scale = least(lit(1.0), lit(MaxDim.toDouble) / w,
+      lit(MaxDim.toDouble) / h)
+    mediaTable(s, dir).select(
+      col("media_ref"), col("width"), col("height"),
+      greatest(lit(1), floor(w * scale)).cast("int").as("out_w"),
+      greatest(lit(1), floor(h * scale)).cast("int").as("out_h"))
+      .orderBy(col("media_ref"))
+  }
+
+  final case class ResizedMedia(media_ref: String, out_w: Int, out_h: Int,
+      payload: Array[Byte])
+
+  /** STUB re-encode, batched per partition like [[decodeFeatures]]: the
+    * fake "resized" payload is a deterministic digest of (payload, dims)
+    * — swap for a real scaler binding; the typed Dataset in/out and
+    * per-partition batching are the production plumbing.
+    */
+  def resizePayloads(resized: DataFrame, media: DataFrame)
+      : Dataset[ResizedMedia] = {
+    val spark = resized.sparkSession
+    import spark.implicits._
+    resized.join(media.select(col("media_ref"), col("payload")),
+        Seq("media_ref"))
+      .select(col("media_ref"), col("out_w"), col("out_h"), col("payload"))
+      .as[ResizedMedia].mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        rows.map { r =>
+          md.reset()
+          md.update(r.payload)
+          md.update(s"${r.out_w}x${r.out_h}".getBytes)
+          r.copy(payload = md.digest())
+        }
+      }
+  }
+
+  /** Frame sampling for video-like payloads: a deterministic frame count
+    * from the typed metadata, uniform-stride sampling down to ≤ 4
+    * frames, one row per sampled frame keyed by a frame digest (what a
+    * real pipeline ships to the captioning/embedding stage). Pure
+    * Columns — compute-then-explode at scan speed, oracle-mirrored.
+    */
+  def frameSample(s: SparkSession, dir: String): DataFrame = {
+    val nFrames = floor((col("width") + col("height")) / lit(16))
+      .cast("int")
+    mediaTable(s, dir)
+      .select(col("media_ref"), nFrames.as("n_frames"),
+        ceil(nFrames / lit(4.0)).cast("int").as("stride"))
+      .select(col("media_ref"), col("n_frames"),
+        explode(sequence(lit(0), col("n_frames") - 1, col("stride")))
+          .as("frame_idx"))
+      .withColumn("frame_hash",
+        md5(concat(col("media_ref"), lit("-"),
+          col("frame_idx").cast("string"))))
+      .orderBy(col("media_ref"), col("frame_idx"))
+  }
+
   /** Join media features back onto the interleaved docs: per-doc media
     * metadata rollup (images only, broadcast dim join — the pattern for
     * joining a media-object store index to span tables).

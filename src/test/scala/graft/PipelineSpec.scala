@@ -145,6 +145,24 @@ class PipelineSpec extends SparkSpec {
       s"spurious ${lsh.diff(brute)}")
   }
 
+  test("multimodal resize stub: metadata math + per-partition re-encode") {
+    val media = Multimodal.mediaTable(spark, dir)
+    val plan = Multimodal.resizePlan(spark, dir)
+    val rows = Multimodal.resizePayloads(plan, media).collect()
+    assert(rows.length === 50)
+    // never upscaled, fits the box, aspect floor-preserved
+    assert(rows.forall(r => r.out_w <= 64 && r.out_h <= 64))
+    assert(rows.forall(_.payload.length == 16)) // stub digest
+    // deterministic: same (payload, dims) → same fake re-encode
+    val again = Multimodal.resizePayloads(plan, media).collect()
+    assert(rows.sortBy(_.media_ref).map(_.payload.toSeq).toSeq ===
+      again.sortBy(_.media_ref).map(_.payload.toSeq).toSeq)
+    // a 32x32 input is already inside the box: passes through unscaled
+    val small = plan.filter(col("width") === 32 && col("height") === 32)
+      .select("out_w", "out_h").as[(Int, Int)].collect()
+    assert(small.nonEmpty && small.forall(_ == ((32, 32))))
+  }
+
   test("multimodal decode stub runs per-partition over binary payloads") {
     val feats = Multimodal.decodeFeatures(Multimodal.mediaTable(spark, dir))
     val rows = feats.collect()
