@@ -566,6 +566,31 @@ object Oracles {
       |  CAST(32 + (x%5)*16 AS INTEGER) AS height
       |FROM generate_series(0,49) t(x) ORDER BY media_ref""".stripMargin
 
+  /** Mirrors TextOps.contentChunks: same 4-word window hash (first 8 hex
+    * chars of md5 as an integer), same mod-16 boundary mask, same
+    * implicit boundary at 1, same per-chunk md5.
+    */
+  val contentChunks: String =
+    """WITH d AS (
+      |  SELECT doc_id, string_split(text,' ') AS w FROM documents),
+      |bounds AS (
+      |  SELECT doc_id, w, list_prepend(1, CASE WHEN len(w) >= 5 THEN
+      |    list_filter(generate_series(2, len(w) - 3),
+      |      i -> CAST(('0x'||substr(md5(
+      |        array_to_string(list_slice(w, i, i + 3), ' ')), 1, 8))
+      |        AS BIGINT) % 16 = 0)
+      |    ELSE [] END) AS bs
+      |  FROM d),
+      |chunks AS (
+      |  SELECT doc_id, w, bs, CAST(u.j AS INTEGER) AS chunk_idx,
+      |    bs[u.j] AS st,
+      |    CASE WHEN u.j < len(bs) THEN bs[u.j + 1] - 1
+      |         ELSE len(w) END AS en
+      |  FROM bounds, LATERAL unnest(generate_series(1, len(bs))) u(j))
+      |SELECT doc_id, chunk_idx, CAST(en - st + 1 AS INTEGER) AS n_words,
+      |  md5(array_to_string(list_slice(w, st, en), ' ')) AS chunk_hash
+      |FROM chunks ORDER BY doc_id, chunk_idx""".stripMargin
+
   /** Mirrors Multimodal.resizePlan: identical IEEE double scale math
     * (LEAST of 1 and 64/dim as doubles, FLOOR of the product).
     */

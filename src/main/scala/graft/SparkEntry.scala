@@ -68,6 +68,7 @@ object SparkEntry {
     "d_tokens" -> (TextOps.tokenCounts _),
     "d_fingerprint" -> (TextOps.fingerprints _),
     "d_pipeline_keep" -> (TextOps.pipelineKeep _),
+    "d_chunks" -> (TextOps.contentChunks _),
     "e_knn_brute" -> ((s, dir) => Similarity.knnBrute(s, dir)),
     // gated on the LSH scale path; the oracle is the independent exact
     // all-pairs SQL (same pattern as d_minhash_pairs vs d_jaccard_pairs)
@@ -248,6 +249,7 @@ object SparkEntry {
     "d_tokens" -> Oracles.tokenCounts,
     "d_fingerprint" -> Oracles.fingerprints,
     "d_pipeline_keep" -> Oracles.pipelineKeep,
+    "d_chunks" -> Oracles.contentChunks,
     "e_knn_brute" -> Oracles.knnBrute,
     "e_cosine_dups" -> Oracles.cosineDups,
     "e_knn_lsh" -> Oracles.knnLsh,

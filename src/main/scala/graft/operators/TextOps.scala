@@ -141,6 +141,62 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Content-defined chunking window (words) and boundary mask: a chunk
+    * boundary opens wherever the hash of the 4-word window starting
+    * there is ≡ 0 (mod 16) — expected chunk length ~16 words. Boundaries
+    * depend only on local content, so an insertion early in a document
+    * shifts ONE chunk instead of re-fingerprinting everything — the
+    * property that makes CDC the cross-corpus near-dup/delta primitive
+    * (a production Rabin implementation computes the same window hashes
+    * incrementally; the output is identical).
+    */
+  val ChunkWindow = 4
+  val ChunkMask = 16
+
+  /** Content-defined chunks per document: (chunk_idx, n_words,
+    * chunk_hash) rows. Pure Column compute-then-explode — at 100 TB this
+    * is a scan-speed projection; only (doc_id, digest) rows leave the
+    * scan for the downstream chunk-level dedup join.
+    */
+  def contentChunks(s: SparkSession, dir: String): DataFrame =
+    contentChunksOf(Tables.documents(s, dir))
+
+  /** [[contentChunks]] over any `(doc_id, text)` frame. */
+  def contentChunksOf(docs: DataFrame): DataFrame = {
+    val w = col("w")
+    val n = size(w)
+    def winHash(i: Column): Column =
+      conv(substring(md5(concat_ws(" ",
+        slice(w, i, lit(ChunkWindow)))), 1, 8), 16, 10).cast("long")
+    // boundary positions: 1 (implicit) + every window-start i ≥ 2 whose
+    // window hash matches the mask. Guarded: Spark's sequence(2, x)
+    // REVERSES when x < 2, so short docs get just the implicit boundary.
+    // STAGED as its own alias: `bs` is referenced from inside the chunk
+    // transform (element_at per chunk, size twice), and HOF arguments
+    // get no CSE — inlined, the whole ~n-window md5 scan re-ran per
+    // chunk (measured 13 s vs ~1.5 s at sf0.1).
+    val bsExpr = concat(
+      array(lit(1)),
+      when(n >= ChunkWindow + 1,
+        filter(sequence(lit(2), n - (ChunkWindow - 1)),
+          i => winHash(i) % ChunkMask === 0))
+        .otherwise(array().cast("array<int>")))
+    val bs = col("bs")
+    val chunks = transform(sequence(lit(1), size(bs)), { j =>
+      val st = element_at(bs, j)
+      val en = when(j < size(bs), element_at(bs, j + 1) - 1).otherwise(n)
+      struct((en - st + 1).cast("int").as("n_words"),
+        md5(concat_ws(" ", slice(w, st, en - st + 1))).as("chunk_hash"))
+    })
+    withWords(docs)
+      .select(col("doc_id"), w, bsExpr.as("bs"))
+      .select(col("doc_id"), chunks.as("chunks"))
+      .select(col("doc_id"), posexplode(col("chunks")).as(Seq("p", "c")))
+      .select(col("doc_id"), (col("p") + 1).cast("int").as("chunk_idx"),
+        col("c.n_words").as("n_words"), col("c.chunk_hash").as("chunk_hash"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
   /** The composed training-data keep-sweep — the shape a real corpus
     * pipeline runs end-to-end: per-doc signals in ONE projection
     * (language ID + quality composite over a staged words array), a

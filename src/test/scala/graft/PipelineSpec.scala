@@ -145,6 +145,34 @@ class PipelineSpec extends SparkSpec {
       s"spurious ${lsh.diff(brute)}")
   }
 
+  test("content-defined chunking: an early edit shifts one chunk, " +
+      "not the whole fingerprint") {
+    import graft.operators.TextOps
+    val base = Tables.documents(spark, "/root/testdata/sf0.01")
+      .select(col("doc_id"), col("text")).limit(100)
+    val edited = base.select(col("doc_id"),
+      concat(lit("inserted words here "), col("text")).as("text"))
+    def byDoc(df: org.apache.spark.sql.DataFrame) =
+      TextOps.contentChunksOf(df)
+        .select("doc_id", "chunk_idx", "chunk_hash")
+        .as[(Long, Int, String)].collect()
+        .groupBy(_._1).view
+        .mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    val orig = byDoc(base)
+    val edit = byDoc(edited)
+    // boundary windows are content-local, so every original boundary
+    // survives the prepend: all chunks except the first must reappear
+    // verbatim — THE content-defined-chunking property (a whole-doc
+    // fingerprint like d_fingerprint changes completely on any edit)
+    orig.foreach { case (id, hashes) =>
+      assert(hashes.drop(1).toSet.subsetOf(edit(id).toSet),
+        s"doc $id lost interior chunks")
+    }
+    // and the corpus must actually have multi-chunk docs for the
+    // assertion to bite
+    assert(orig.values.count(_.size >= 3) > 50)
+  }
+
   test("multimodal resize stub: metadata math + per-partition re-encode") {
     val media = Multimodal.mediaTable(spark, dir)
     val plan = Multimodal.resizePlan(spark, dir)
