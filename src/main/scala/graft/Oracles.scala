@@ -566,30 +566,60 @@ object Oracles {
       |  CAST(32 + (x%5)*16 AS INTEGER) AS height
       |FROM generate_series(0,49) t(x) ORDER BY media_ref""".stripMargin
 
-  /** Mirrors TextOps.contentChunks: same 4-word window hash (first 8 hex
-    * chars of md5 as an integer), same mod-16 boundary mask, same
-    * implicit boundary at 1, same per-chunk md5.
+  /** Chunk CTEs over `src(doc_id, text)` — same 4-word window hash
+    * (first 8 hex chars of md5 as an integer), same mod-16 boundary
+    * mask, same implicit boundary at 1, same per-chunk md5 as
+    * TextOps.contentChunksOf. Yields `chunkrows(doc_id, chunk_idx,
+    * n_words, chunk_hash)`.
     */
+  private def chunksCte(src: String): String =
+    s"""cd AS (
+       |  SELECT doc_id, string_split(text,' ') AS w FROM $src),
+       |bounds AS (
+       |  SELECT doc_id, w, list_prepend(1, CASE WHEN len(w) >= 5 THEN
+       |    list_filter(generate_series(2, len(w) - 3),
+       |      i -> CAST(('0x'||substr(md5(
+       |        array_to_string(list_slice(w, i, i + 3), ' ')), 1, 8))
+       |        AS BIGINT) % 16 = 0)
+       |    ELSE [] END) AS bs
+       |  FROM cd),
+       |spans_c AS (
+       |  SELECT doc_id, w, bs, CAST(u.j AS INTEGER) AS chunk_idx,
+       |    bs[u.j] AS st,
+       |    CASE WHEN u.j < len(bs) THEN bs[u.j + 1] - 1
+       |         ELSE len(w) END AS en
+       |  FROM bounds, LATERAL unnest(generate_series(1, len(bs))) u(j)),
+       |chunkrows AS (
+       |  SELECT doc_id, chunk_idx, CAST(en - st + 1 AS INTEGER)
+       |    AS n_words,
+       |    md5(array_to_string(list_slice(w, st, en), ' ')) AS chunk_hash
+       |  FROM spans_c)""".stripMargin
+
+  /** Mirrors TextOps.contentChunks over the documents table. */
   val contentChunks: String =
-    """WITH d AS (
-      |  SELECT doc_id, string_split(text,' ') AS w FROM documents),
-      |bounds AS (
-      |  SELECT doc_id, w, list_prepend(1, CASE WHEN len(w) >= 5 THEN
-      |    list_filter(generate_series(2, len(w) - 3),
-      |      i -> CAST(('0x'||substr(md5(
-      |        array_to_string(list_slice(w, i, i + 3), ' ')), 1, 8))
-      |        AS BIGINT) % 16 = 0)
-      |    ELSE [] END) AS bs
-      |  FROM d),
-      |chunks AS (
-      |  SELECT doc_id, w, bs, CAST(u.j AS INTEGER) AS chunk_idx,
-      |    bs[u.j] AS st,
-      |    CASE WHEN u.j < len(bs) THEN bs[u.j + 1] - 1
-      |         ELSE len(w) END AS en
-      |  FROM bounds, LATERAL unnest(generate_series(1, len(bs))) u(j))
-      |SELECT doc_id, chunk_idx, CAST(en - st + 1 AS INTEGER) AS n_words,
-      |  md5(array_to_string(list_slice(w, st, en), ' ')) AS chunk_hash
-      |FROM chunks ORDER BY doc_id, chunk_idx""".stripMargin
+    "WITH " + chunksCte("documents") + """
+      |SELECT doc_id, chunk_idx, n_words, chunk_hash
+      |FROM chunkrows ORDER BY doc_id, chunk_idx""".stripMargin
+
+  /** Mirrors TextOps.chunkDups: chunk-SET overlap over the duplicated
+    * corpus, ratio against the smaller side.
+    */
+  val chunkDups: String = corpusCte + ",\n" + chunksCte("corpus") +
+    """
+      |, ch AS (SELECT DISTINCT doc_id, chunk_hash FROM chunkrows),
+      |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM ch GROUP BY 1),
+      |shared AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+      |  FROM ch a JOIN ch b ON a.chunk_hash = b.chunk_hash
+      |    AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT id_a, id_b, CAST(shared AS INTEGER) AS shared,
+      |  ROUND(shared / CAST(LEAST(sa.sz, sb.sz) AS DOUBLE), 4) AS overlap
+      |FROM shared
+      |JOIN sizes sa ON sa.doc_id = id_a
+      |JOIN sizes sb ON sb.doc_id = id_b
+      |WHERE shared / CAST(LEAST(sa.sz, sb.sz) AS DOUBLE) >= 0.49995
+      |ORDER BY id_a, id_b""".stripMargin
 
   /** Mirrors Multimodal.resizePlan: identical IEEE double scale math
     * (LEAST of 1 and 64/dim as doubles, FLOOR of the product).

@@ -69,6 +69,7 @@ object SparkEntry {
     "d_fingerprint" -> (TextOps.fingerprints _),
     "d_pipeline_keep" -> (TextOps.pipelineKeep _),
     "d_chunks" -> (TextOps.contentChunks _),
+    "d_chunk_dups" -> ((s, dir) => TextOps.chunkDups(s, dir)),
     "e_knn_brute" -> ((s, dir) => Similarity.knnBrute(s, dir)),
     // gated on the LSH scale path; the oracle is the independent exact
     // all-pairs SQL (same pattern as d_minhash_pairs vs d_jaccard_pairs)
@@ -250,6 +251,7 @@ object SparkEntry {
     "d_fingerprint" -> Oracles.fingerprints,
     "d_pipeline_keep" -> Oracles.pipelineKeep,
     "d_chunks" -> Oracles.contentChunks,
+    "d_chunk_dups" -> Oracles.chunkDups,
     "e_knn_brute" -> Oracles.knnBrute,
     "e_cosine_dups" -> Oracles.cosineDups,
     "e_knn_lsh" -> Oracles.knnLsh,

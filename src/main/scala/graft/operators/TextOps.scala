@@ -197,6 +197,40 @@ object TextOps {
       .orderBy(col("doc_id"), col("chunk_idx"))
   }
 
+  /** Chunk-overlap near-dup pairs over the duplicated [[Dedup.corpus]]:
+    * docs sharing ≥ `threshold` of the smaller side's content-defined
+    * chunks. This is the CDC-based near-dup method web-scale pipelines
+    * run AT CHUNK GRANULARITY: because boundaries are content-local
+    * ([[contentChunks]]), an append or local edit leaves most chunk
+    * digests intact, so near-identical docs surface through a plain
+    * digest equi-join — shuffle volume is (doc_id, 16-byte digest) rows,
+    * quadratic only within identical-chunk groups, never corpus-wide.
+    */
+  def chunkDups(s: SparkSession, dir: String,
+      threshold: Double = 0.5): DataFrame = {
+    // distinct per doc: overlap is over chunk SETS, so a repeated
+    // identical chunk inside one document cannot inflate the count
+    val ch = contentChunksOf(Dedup.corpus(s, dir))
+      .select(col("doc_id"), col("chunk_hash")).distinct()
+    val sizes = ch.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val shared = ch.as("a")
+      .join(ch.as("b"), col("a.chunk_hash") === col("b.chunk_hash") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.select(col("doc_id").as("id_a"), col("sz").as("sz_a")),
+        Seq("id_a"))
+      .join(sizes.select(col("doc_id").as("id_b"), col("sz").as("sz_b")),
+        Seq("id_b"))
+      .withColumn("overlap",
+        round(col("shared") / least(col("sz_a"), col("sz_b")), 4))
+      .filter(col("overlap") >= threshold)
+      .select(col("id_a"), col("id_b"), col("shared").cast("int")
+        .as("shared"), col("overlap"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** The composed training-data keep-sweep — the shape a real corpus
     * pipeline runs end-to-end: per-doc signals in ONE projection
     * (language ID + quality composite over a staged words array), a

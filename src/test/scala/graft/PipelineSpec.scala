@@ -171,6 +171,17 @@ class PipelineSpec extends SparkSpec {
     // and the corpus must actually have multi-chunk docs for the
     // assertion to bite
     assert(orig.values.count(_.size >= 3) > 50)
+    // the chunk-overlap dedup built on top must catch the injected
+    // duplicate classes: exact copies share every chunk; the
+    // two-words-appended near-dups share all but their FINAL chunk, so
+    // they surface iff the doc has ≥ 2 chunks — on this deterministic
+    // corpus 8 of the 10 do (the other 2 are single-chunk docs whose
+    // only chunk the append rewrites; that miss is inherent to CDC at
+    // chunk granularity, which is why MinHash covers the short-doc end)
+    val dups = TextOps.chunkDups(spark, "/root/testdata/sf0.01")
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(dups.count { case (a, b) => b == a + 1000000L } === 10)
+    assert(dups.count { case (a, b) => b == a + 2000000L } === 8)
   }
 
   test("multimodal resize stub: metadata math + per-partition re-encode") {
