@@ -43,6 +43,67 @@ object SignLsh {
       GraftBridge.expression(e), tableBase, numTables, sigBits, dim))
 }
 
+/** One-pass cosine similarity with the EXACT semantics of the HOF form
+  * `dot(a,b) / (sqrt(dot(a,a)) * sqrt(dot(b,b)))` where each dot is a
+  * left-to-right double fold: the three accumulators advance element by
+  * element in the same order, so every intermediate double is identical
+  * to the HOF tree's — bit-for-bit equal output (asserted in
+  * FunctionsSpec), ~10× cheaper than three interpreted folds. Used by
+  * the exact re-rank of every similarity query.
+  */
+object CosineSim {
+  def cosine(a: Column, b: Column): Column =
+    GraftBridge.column(CosineSimExpr(
+      GraftBridge.expression(a), GraftBridge.expression(b)))
+}
+
+final class CosineKernel(leftFloat: Boolean, rightFloat: Boolean)
+    extends Serializable {
+  def cosine(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (leftFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (rightFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+}
+
+case class CosineSimExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  @transient private lazy val kernel = new CosineKernel(
+    left.dataType.asInstanceOf[ArrayType].elementType == FloatType,
+    right.dataType.asInstanceOf[ArrayType].elementType == FloatType)
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    java.lang.Double.valueOf(kernel.cosine(
+      l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode = {
+    val h = ctx.addReferenceObj("cosineKernel", kernel,
+      classOf[CosineKernel].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $h.cosine($a, $b);")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): CosineSimExpr =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "cosine_sim"
+}
+
 /** Serializable tight-loop kernel shared by the interpreted eval and the
   * generated code (referenced via addReferenceObj).
   */

@@ -19,7 +19,7 @@ import graft.functions.{Ivf, SignLsh}
 object Similarity {
 
   /** Dot product in double precision via zip_with + aggregate fold —
-    * deterministic left-to-right accumulation, fully codegen'd.
+    * deterministic left-to-right accumulation. HOF spec form.
     */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
@@ -27,7 +27,19 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine, HOF spec form: three interpreted folds. The production
+    * queries use [[cosine]] — the one-pass kernel whose accumulators
+    * advance in the same element order, so the output is bit-for-bit
+    * identical (FunctionsSpec) at ~10× less cost.
+    */
+  def cosineHof(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
+
+  /** Production cosine: one-pass codegen kernel, bit-equal to
+    * [[cosineHof]].
+    */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.CosineSim.cosine(a, b)
 
   /** Query set: every 50th vector. */
   private def queries(s: SparkSession, dir: String): DataFrame =

@@ -158,6 +158,29 @@ class FunctionsSpec extends SparkSpec {
     assert(sv === 0)
   }
 
+  test("codegen cosine kernel ≡ HOF fold tree, bit for bit") {
+    import graft.operators.Similarity
+    val dir = "/root/testdata/sf0.001"
+    // float×float (raw embeddings) and double×double (dup corpus) pairs;
+    // equality is EXACT (===), not approximate — the kernel's
+    // accumulators advance in the same element order as the folds
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val ff = e.as("a").crossJoin(e.as("b").limit(5))
+      .select(Similarity.cosine(col("a.embedding"), col("b.embedding"))
+        .as("fast"),
+        Similarity.cosineHof(col("a.embedding"), col("b.embedding"))
+          .as("spec"))
+      .filter(col("fast") =!= col("spec")).count()
+    assert(ff === 0)
+    val d = Similarity.dupCorpus(spark, dir).limit(40)
+    val dd = d.as("a").crossJoin(d.as("b").limit(5))
+      .select(Similarity.cosine(col("a.e"), col("b.e")).as("fast"),
+        Similarity.cosineHof(col("a.e"), col("b.e")).as("spec"))
+      .filter(col("fast") =!= col("spec")).count()
+    assert(dd === 0)
+  }
+
   test("codegen SignLsh kernel ≡ HOF signature tree on real embeddings") {
     import graft.operators.Similarity
     val dir = "/root/testdata/sf0.001"
