@@ -5,8 +5,10 @@
 # for two spark-submit cluster sizes: an 8-core node does not get 24
 # spare cores for GC/JIT the way `local[8]` on a 32-core box does.
 #
-#   SPARK_GRAFT_SCALE_JOB=invariant|full  (Job A | Job B)
-#   SPARK_GRAFT_REPLICAS=4000             (20M docs at sf0.1)
+#   SPARK_GRAFT_SCALE_JOB=invariant|full|minhash  (Job A | Job B | Job C)
+#   SPARK_GRAFT_REPLICAS=4000             (20M docs at sf0.1, jobs A/B)
+#   SPARK_GRAFT_MINHASH_REPLICAS=40       (~215k docs at sf0.1, job C —
+#                                          MinHash near-dup end-to-end)
 set -euo pipefail
 cd "$(dirname "$0")/.."
 

@@ -48,9 +48,17 @@ object Bench {
     // rather than charging codegen compilation to the query
     val results = SparkEntry.benchQueries.toSeq.sortBy(_._1).map {
       case (name, fn) =>
+        // release gated candidate caches between reps: a rep must not
+        // reuse the previous rep's cached candidate pairs, or the
+        // min-of-2 times only the re-attach tail of the pipeline
+        def rep(): Double = {
+          graft.operators.Candidates.releaseAll(blocking = true)
+          time(exec(fn(spark, sfDir)))
+        }
         val sec =
-          try (1 to 2).map(_ => time(exec(fn(spark, sfDir)))).min
+          try (1 to 2).map(_ => rep()).min
           catch { case _: Throwable => -1.0 }
+        graft.operators.Candidates.releaseAll(blocking = true)
         name -> sec
     }
 

@@ -48,6 +48,37 @@ object BenchData {
     s"/tmp/graft_bench/${tag}_x$replicas"
   }
 
+  /** Scaled TEXT corpus for the MinHash scaling job (north-rule Job C):
+    * the [[graft.operators.Dedup.corpus]] duplicate fixture replicated
+    * `replicas` times with every WORD suffixed by the replica index —
+    * replicas share no shingles, so the duplicate-pair structure (and
+    * with it the candidate/verify work) scales LINEARLY with the
+    * corpus instead of quadratically (an un-perturbed replication would
+    * make every replica of a doc a near-dup of every other replica:
+    * R² pairs, a fixture artifact no real corpus has). Written once;
+    * the scaling runs time the dedup job reading from storage.
+    */
+  def ensureTextCorpus(spark: SparkSession, sfDir: String,
+      replicas: Int): String = {
+    import org.apache.spark.sql.functions._
+    val base = dir(sfDir, replicas) + "_text"
+    val path = s"$base/corpus"
+    if (!Files.exists(Paths.get(s"$base/_done"))) {
+      val corpus = graft.operators.Dedup.corpus(spark, sfDir)
+      spark.range(replicas).select(col("id").as("rep"))
+        .crossJoin(corpus)
+        .select(
+          (col("doc_id") + col("rep") * 10000000L).as("doc_id"),
+          concat_ws(" ", transform(split(col("text"), " "),
+            w => concat(w, lit("_"), col("rep")))).as("text"))
+        .repartition(64)
+        .write.mode("overwrite").parquet(path)
+      Files.createDirectories(Paths.get(base))
+      Files.write(Paths.get(s"$base/_done"), Array.emptyByteArray)
+    }
+    path
+  }
+
   private def tag(sfDir: String, replicas: Int): String =
     (sfDir.replaceAll("[^a-zA-Z0-9]", "_") + "_x" + replicas).toLowerCase
 

@@ -257,9 +257,12 @@ object Oracles {
       |FROM corpus GROUP BY 1 HAVING COUNT(*) > 1
       |ORDER BY fingerprint""".stripMargin
 
-  val jaccardPairs: String = corpusCte +
-    """
-      |, sh AS (
+  /** Exact-Jaccard pair CTEs over `corpus` — yields `jp(id_a, id_b,
+    * jaccard)` at the 0.6 threshold; shared by [[jaccardPairs]],
+    * [[minhashPairs]] and the [[dupClusters]] component closure.
+    */
+  private val jaccardCtes: String =
+    """, sh AS (
       |  SELECT doc_id, unnest(list_distinct(list_transform(
       |    generate_series(1, len(w)-2),
       |    i -> w[i]||' '||w[i+1]||' '||w[i+2]))) AS sh
@@ -268,14 +271,18 @@ object Oracles {
       |shared AS (
       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
       |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-      |  GROUP BY 1, 2)
-      |SELECT id_a, id_b,
-      |  ROUND(shared/CAST(sa.sz+sb.sz-shared AS DOUBLE), 4) AS jaccard
-      |FROM shared
-      |JOIN sizes sa ON sa.doc_id = id_a
-      |JOIN sizes sb ON sb.doc_id = id_b
-      |WHERE shared/CAST(sa.sz+sb.sz-shared AS DOUBLE) >= 0.59995
-      |ORDER BY id_a, id_b""".stripMargin
+      |  GROUP BY 1, 2),
+      |jp AS (
+      |  SELECT id_a, id_b,
+      |    ROUND(shared/CAST(sa.sz+sb.sz-shared AS DOUBLE), 4) AS jaccard
+      |  FROM shared
+      |  JOIN sizes sa ON sa.doc_id = id_a
+      |  JOIN sizes sb ON sb.doc_id = id_b
+      |  WHERE shared/CAST(sa.sz+sb.sz-shared AS DOUBLE) >= 0.59995)""".stripMargin
+
+  val jaccardPairs: String = corpusCte + "\n" + jaccardCtes +
+    """
+      |SELECT id_a, id_b, jaccard FROM jp ORDER BY id_a, id_b""".stripMargin
 
   /** MinHash+LSH oracle: with b=32/r=3 banding the candidate recall at the
     * J≥0.6 threshold is ≈0.9996 per pair, and on the deterministic fixture
@@ -284,6 +291,54 @@ object Oracles {
     * EQUALS the exact all-pairs result. Oracle = the exact Jaccard SQL.
     */
   val minhashPairs: String = jaccardPairs
+
+  /** Mirrors Clusters.dupClusters: transitive closure of the near-dup
+    * pair edges (== the MinHash pairs; see [[minhashPairs]] for why the
+    * exact-Jaccard pairs are the same set) as a recursive reachability
+    * CTE — r enumerates every node reachable from id, MIN(r) is the
+    * component label — then the keep rule (min doc_id per component).
+    */
+  val dupClusters: String =
+    corpusCte.replaceFirst("WITH ", "WITH RECURSIVE ") + "\n" +
+      jaccardCtes +
+    """
+      |, sym AS (
+      |  SELECT id_a AS src, id_b AS dst FROM jp
+      |  UNION ALL
+      |  SELECT id_b, id_a FROM jp),
+      |reach(id, r) AS (
+      |  SELECT DISTINCT src, src FROM sym
+      |  UNION
+      |  SELECT s.dst, reach.r FROM reach JOIN sym s ON s.src = reach.id),
+      |comp AS (
+      |  SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id)
+      |SELECT cluster_id, doc_id, (doc_id = cluster_id) AS keep
+      |FROM comp ORDER BY cluster_id, doc_id""".stripMargin
+
+  /** Mirrors Dedup.decontam: per-doc fraction of distinct 3-gram
+    * shingles shared with the benchmark docs (doc_id ≡ 11 mod 101),
+    * flagged at 0.5.
+    */
+  val decontam: String = corpusCte +
+    """
+      |, csh AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |    generate_series(1, len(w)-2),
+      |    i -> w[i]||' '||w[i+1]||' '||w[i+2]))) AS sh
+      |  FROM (SELECT doc_id, string_split(text,' ') AS w FROM corpus)),
+      |bench AS (
+      |  SELECT DISTINCT unnest(list_distinct(list_transform(
+      |    generate_series(1, len(w)-2),
+      |    i -> w[i]||' '||w[i+1]||' '||w[i+2]))) AS sh
+      |  FROM (SELECT string_split(text,' ') AS w FROM documents
+      |        WHERE doc_id%101 = 11))
+      |SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_shingles,
+      |  CAST(COUNT(b.sh) AS INTEGER) AS n_hit,
+      |  ROUND(COUNT(b.sh)/CAST(COUNT(*) AS DOUBLE), 4) AS contamination
+      |FROM csh c LEFT JOIN bench b ON c.sh = b.sh
+      |GROUP BY doc_id
+      |HAVING COUNT(b.sh)/CAST(COUNT(*) AS DOUBLE) >= 0.49995
+      |ORDER BY doc_id""".stripMargin
 
   /** SimHash oracle: brute-force all-pairs Hamming ≤ 6 over the identical
     * 60-bit md5-derived simhash (the engine's 7-block LSH is lossless for
@@ -602,15 +657,21 @@ object Oracles {
       |FROM chunkrows ORDER BY doc_id, chunk_idx""".stripMargin
 
   /** Mirrors TextOps.chunkDups: chunk-SET overlap over the duplicated
-    * corpus, ratio against the smaller side.
+    * corpus, ratio against the smaller side, with the same hot-chunk
+    * document-frequency cap (df > 64 chunks are boilerplate and carry
+    * no pair signal; sizes stay uncapped) before the pair join.
     */
   val chunkDups: String = corpusCte + ",\n" + chunksCte("corpus") +
     """
       |, ch AS (SELECT DISTINCT doc_id, chunk_hash FROM chunkrows),
       |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM ch GROUP BY 1),
+      |chcold AS (
+      |  SELECT ch.doc_id, ch.chunk_hash FROM ch
+      |  JOIN (SELECT chunk_hash FROM ch GROUP BY 1
+      |        HAVING COUNT(*) <= 64) cold USING (chunk_hash)),
       |shared AS (
       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
-      |  FROM ch a JOIN ch b ON a.chunk_hash = b.chunk_hash
+      |  FROM chcold a JOIN chcold b ON a.chunk_hash = b.chunk_hash
       |    AND a.doc_id < b.doc_id
       |  GROUP BY 1, 2)
       |SELECT id_a, id_b, CAST(shared AS INTEGER) AS shared,

@@ -506,3 +506,208 @@ object Probe11g {
   }
 }
 
+
+/** Round-4 probe: time any named SparkEntry queries in isolation
+  * (bench session config), min-of-N. Usage:
+  * `runMain graft.ProbeQ d_minhash_pairs d_dup_clusters`
+  * (env SPARK_GRAFT_SF_DIR, SPARK_GRAFT_PROBE_REPS).
+  */
+object ProbeQ {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_PROBE_REPS", "3").toInt
+    args.foreach { name =>
+      val fn = SparkEntry.benchQueries(name)
+      def rep(): Double = {
+        graft.operators.Candidates.releaseAll(blocking = true)
+        Bench.time(Bench.exec(fn(spark, dir)))
+      }
+      rep() // warm
+      val s = (1 to reps).map(_ => rep()).min
+      println(f"[probeq] $name%-22s $s%7.2f s (min of $reps)")
+    }
+    spark.stop()
+  }
+}
+
+/** Round-4 probe: decompose d_minhash_pairs cost — candidate
+  * generation (count job), verify (main job from cache), and the
+  * r3-style single-job unconditional-broadcast variant.
+  */
+object ProbeR4 {
+  def main(args: Array[String]): Unit = {
+    import graft.operators.{Candidates, Dedup}
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    def corpusDf = graft.data.Interleaved.spread(
+      Dedup.corpus(spark, dir), Tables.documents(spark, dir))
+    def rawCand = {
+      val docs = corpusDf
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .select(col("doc_id"), Dedup.shinglesOf(col("w")).as("sh"))
+        .select(col("doc_id"), Dedup.minhashSignature(col("sh")).as("sig"))
+      val bandHashes = array((0 until Dedup.NumHashes / Dedup.BandSize).map { b =>
+        xxhash64((lit(b) +: (0 until Dedup.BandSize).map(j =>
+          element_at(col("sig"), b * Dedup.BandSize + j + 1))): _*)
+      }: _*)
+      val bands = corpusDf
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .select(col("doc_id"), Dedup.shinglesOf(col("w")).as("sh"))
+        .select(col("doc_id"), Dedup.minhashSignature(col("sh")).as("sig"))
+        .select(col("doc_id"), posexplode(bandHashes).as(Seq("band", "bh")))
+      bands.as("a")
+        .join(bands.as("b"), col("a.band") === col("b.band") &&
+          col("a.bh") === col("b.bh") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .distinct()
+    }
+    def t(name: String)(f: => Unit): Unit = {
+      val s = (1 to 3).map(_ => Bench.time(f)).min
+      println(f"[prober4] $name%-28s $s%7.2f s")
+    }
+    // warm
+    Bench.exec(Dedup.minhashCandidatesOf(corpusDf))
+    Candidates.releaseAll(blocking = true)
+    t("rawCand.count (no persist)") { rawCand.count(); () }
+    t("materialize (persist+count)") {
+      Candidates.materialize(rawCand)
+      Candidates.releaseAll(blocking = true)
+    }
+    t("full gated (current)") {
+      Candidates.releaseAll(blocking = true)
+      Bench.exec(Dedup.minhashCandidatesOf(corpusDf))
+    }
+    spark.stop()
+  }
+}
+
+/** Round-4 probe b: bisect the verify-stage regression — r3-style
+  * verify from the raw plan vs from the cached candidate frame.
+  */
+object ProbeR4b {
+  def main(args: Array[String]): Unit = {
+    import graft.operators.{Candidates, Dedup}
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    def corpusDf = graft.data.Interleaved.spread(
+      Dedup.corpus(spark, dir), Tables.documents(spark, dir))
+    def rawCand = {
+      val docs = corpusDf
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .select(col("doc_id"), Dedup.shinglesOf(col("w")).as("sh"))
+        .select(col("doc_id"), Dedup.minhashSignature(col("sh")).as("sig"))
+      val bandHashes = array((0 until Dedup.NumHashes / Dedup.BandSize).map { b =>
+        xxhash64((lit(b) +: (0 until Dedup.BandSize).map(j =>
+          element_at(col("sig"), b * Dedup.BandSize + j + 1))): _*)
+      }: _*)
+      val bands = docs
+        .select(col("doc_id"), posexplode(bandHashes).as(Seq("band", "bh")))
+      bands.as("a")
+        .join(bands.as("b"), col("a.band") === col("b.band") &&
+          col("a.bh") === col("b.bh") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .distinct()
+    }
+    def verify(cand: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      val candIds = cand.select(col("id_a").as("doc_id"))
+        .unionAll(cand.select(col("id_b").as("doc_id"))).distinct()
+      val sh = corpusDf
+        .join(broadcast(candIds), Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .select(col("doc_id"), Dedup.shinglesOf(col("w")).as("sh"))
+      val withA = broadcast(cand)
+        .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")),
+          Seq("id_a"))
+      broadcast(withA)
+        .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")),
+          Seq("id_b"))
+        .withColumn("jaccard", round(
+          size(array_intersect(col("sh_a"), col("sh_b"))) /
+            size(array_union(col("sh_a"), col("sh_b"))), 4))
+        .filter(col("jaccard") >= 0.6)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+    }
+    def t(name: String)(f: => Unit): Unit = {
+      val s = (1 to 3).map(_ => Bench.time(f)).min
+      println(f"[prober4b] $name%-34s $s%7.2f s")
+    }
+    Bench.exec(verify(rawCand)) // warm
+    t("r3-style: single job, raw cand") { Bench.exec(verify(rawCand)) }
+    val (cached, n) = Candidates.materialize(rawCand)
+    println(s"[prober4b] nCand = $n")
+    t("verify from CACHED cand") { Bench.exec(verify(cached)) }
+    Candidates.releaseAll(blocking = true)
+    spark.stop()
+  }
+}
+
+/** Round-4 probe c: event-logged single run of the gated
+  * d_minhash_pairs to see per-job wall times.
+  */
+object ProbeR4c {
+  def main(args: Array[String]): Unit = {
+    import graft.operators.{Candidates, Dedup}
+    new java.io.File("/tmp/spark-events").mkdirs()
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.eventLog.enabled", "true")
+      .config("spark.eventLog.dir", "/tmp/spark-events")
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    def corpusDf = graft.data.Interleaved.spread(
+      Dedup.corpus(spark, dir), Tables.documents(spark, dir))
+    Bench.exec(Dedup.minhashCandidatesOf(corpusDf)) // warm
+    Candidates.releaseAll(blocking = true)
+    println("[prober4c] ---- timed run starts ----")
+    val s = Bench.time(Bench.exec(Dedup.minhashCandidatesOf(corpusDf)))
+    println(f"[prober4c] total $s%.2f s; app=${spark.sparkContext.applicationId}")
+    Candidates.releaseAll(blocking = true)
+    spark.stop()
+  }
+}
+
+/** Round-4 probe d: event-logged single d_dup_clusters run. */
+object ProbeR4d {
+  def main(args: Array[String]): Unit = {
+    new java.io.File("/tmp/spark-events").mkdirs()
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.eventLog.enabled", "true")
+      .config("spark.eventLog.dir", "/tmp/spark-events")
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val s = Bench.time(Bench.exec(
+      org.apache.spark.sql.GraftBridge.stripTopSort(
+        graft.operators.Clusters.dupClusters(spark, dir))))
+    println(f"[prober4d] total $s%.2f s; app=${spark.sparkContext.applicationId}")
+    graft.operators.Candidates.releaseAll(blocking = true)
+    spark.stop()
+  }
+}

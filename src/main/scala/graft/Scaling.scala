@@ -20,19 +20,36 @@ object Scaling {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val (docsTbl, refTbl) = BenchData.ensureBucketed(spark, sfDir, replicas)
-    val docs = spark.table(docsTbl)
-    val ref = spark.table(refTbl)
-    val n = docs.count()
     // SPARK_GRAFT_SCALE_JOB: "invariant" = span-sequence invariant job
     // (the north-rule per-row check); "full" = invariant + 20-keyword
-    // rule set
-    val full =
-      sys.env.getOrElse("SPARK_GRAFT_SCALE_JOB", "invariant") == "full"
-    def job(): Unit =
-      if (full) Bench.exec(Validation.perPartition(docs, ref))
-      else Bench.exec(graft.checks.Verdicts.perPartition(
-        graft.checks.SpanInvariant.verdicts(docs, ref)))
+    // rule set; "minhash" = Job C, the MinHash near-dup pipeline
+    // end-to-end (shingle → 96-hash signature → banding shuffle →
+    // candidate join → size-gated exact-Jaccard verify) on a replicated
+    // disjoint-shingle corpus
+    val jobKind = sys.env.getOrElse("SPARK_GRAFT_SCALE_JOB", "invariant")
+    val (n, job): (Long, () => Unit) =
+      if (jobKind == "minhash") {
+        val mReplicas =
+          sys.env.getOrElse("SPARK_GRAFT_MINHASH_REPLICAS", "40").toInt
+        val path = BenchData.ensureTextCorpus(spark, sfDir, mReplicas)
+        val corpus = spark.read.parquet(path)
+        (corpus.count(), () => {
+          // drop the previous rep's gated candidate cache first (inside
+          // the timed region: recomputing candidates IS part of the job)
+          graft.operators.Candidates.releaseAll(blocking = true)
+          Bench.exec(graft.operators.Dedup.minhashCandidatesOf(corpus))
+        })
+      } else {
+        val (docsTbl, refTbl) =
+          BenchData.ensureBucketed(spark, sfDir, replicas)
+        val docs = spark.table(docsTbl)
+        val ref = spark.table(refTbl)
+        val full = jobKind == "full"
+        (docs.count(), () =>
+          if (full) Bench.exec(Validation.perPartition(docs, ref))
+          else Bench.exec(graft.checks.Verdicts.perPartition(
+            graft.checks.SpanInvariant.verdicts(docs, ref))))
+      }
     job() // warm-up (codegen + JIT)
     val sec = (1 to 3).map(_ => Bench.time(job())).min
     spark.stop()

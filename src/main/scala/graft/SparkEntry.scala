@@ -70,6 +70,8 @@ object SparkEntry {
     "d_pipeline_keep" -> (TextOps.pipelineKeep _),
     "d_chunks" -> (TextOps.contentChunks _),
     "d_chunk_dups" -> ((s, dir) => TextOps.chunkDups(s, dir)),
+    "d_dup_clusters" -> (graft.operators.Clusters.dupClusters _),
+    "d_decontam" -> ((s, dir) => Dedup.decontam(s, dir)),
     "e_knn_brute" -> ((s, dir) => Similarity.knnBrute(s, dir)),
     // gated on the LSH scale path; the oracle is the independent exact
     // all-pairs SQL (same pattern as d_minhash_pairs vs d_jaccard_pairs)
@@ -252,6 +254,8 @@ object SparkEntry {
     "d_pipeline_keep" -> Oracles.pipelineKeep,
     "d_chunks" -> Oracles.contentChunks,
     "d_chunk_dups" -> Oracles.chunkDups,
+    "d_dup_clusters" -> Oracles.dupClusters,
+    "d_decontam" -> Oracles.decontam,
     "e_knn_brute" -> Oracles.knnBrute,
     "e_cosine_dups" -> Oracles.cosineDups,
     "e_knn_lsh" -> Oracles.knnLsh,

@@ -2,6 +2,8 @@ package graft
 
 import java.nio.file.{Files, Paths}
 
+import scala.jdk.CollectionConverters._
+
 import com.fasterxml.jackson.databind.ObjectMapper
 import com.fasterxml.jackson.dataformat.yaml.YAMLFactory
 
@@ -66,7 +68,21 @@ object Validate {
   def validatedFrame(spark: SparkSession, files: Seq[String],
       schema: Option[String], schemaOverride: Boolean = false,
       stdinText: Option[String] = None, autoDetect: Boolean = true,
-      catalogUrl: Option[String] = None): DataFrame = {
+      catalogUrl: Option[String] = None): DataFrame =
+    validatedFrameWithCache(spark, files, schema, schemaOverride,
+      stdinText, autoDetect, catalogUrl)._1
+
+  /** [[validatedFrame]] plus the cached parsed-docs handle (when the
+    * multi-schema path cached it) so the caller can unpersist once the
+    * result is gathered — [[runFull]] does; leaving it cached leaked
+    * blocks across repeated runs in a long-lived session (ADVICE r3).
+    */
+  private def validatedFrameWithCache(spark: SparkSession,
+      files: Seq[String],
+      schema: Option[String], schemaOverride: Boolean = false,
+      stdinText: Option[String] = None, autoDetect: Boolean = true,
+      catalogUrl: Option[String] = None)
+      : (DataFrame, Option[DataFrame]) = {
     import spark.implicits._
     val useStdin = stdinText.isDefined &&
       (files.isEmpty || files.contains("-"))
@@ -153,9 +169,10 @@ object Validate {
         base.filter(col("error").isNull && col("schema_url") === u)
           .withColumn("violations", errRow(lit(msg)))
     }
-    (Seq(errDocs, noSchema) ++ groups).reduce(_ unionByName _)
+    val out = (Seq(errDocs, noSchema) ++ groups).reduce(_ unionByName _)
       .select(col("doc_key").as("doc_id"),
         (size(col("violations")) === 0).as("valid"), col("violations"))
+    (out, if (compiledByUrl.size > 1) Some(base) else None)
   }
 
   /** Full pipeline. `stdinText` is the at-most-once stdin read
@@ -167,15 +184,17 @@ object Validate {
       stdinText: Option[String] = None, autoDetect: Boolean = true,
       catalogUrl: Option[String] = None)
       : (Seq[Reports.VerdictRow], Reports.RunSummary) = {
-    val validated = validatedFrame(spark, files, schema, schemaOverride,
-      stdinText, autoDetect, catalogUrl)
-    val verdicts = validated.select("doc_id", "valid")
-    val violations = validated
-      .select(col("doc_id"), explode(col("violations")).as("x"))
-      .select(col("doc_id"), col("x.pointer").as("pointer"),
-        col("x.keyword").as("keyword"), col("x.message").as("message"),
-        col("x.schemaLocation").as("schemaLocation"))
-    Reports.gather(verdicts, violations)
+    val (validated, cached) = validatedFrameWithCache(spark, files,
+      schema, schemaOverride, stdinText, autoDetect, catalogUrl)
+    try {
+      val verdicts = validated.select("doc_id", "valid")
+      val violations = validated
+        .select(col("doc_id"), explode(col("violations")).as("x"))
+        .select(col("doc_id"), col("x.pointer").as("pointer"),
+          col("x.keyword").as("keyword"), col("x.message").as("message"),
+          col("x.schemaLocation").as("schemaLocation"))
+      Reports.gather(verdicts, violations)
+    } finally cached.foreach(_.unpersist(false))
   }
 
   /** Usage text — the reference's help gate
@@ -189,11 +208,15 @@ object Validate {
       |
       |Options:
       |  --help                    Show this help message
+      |  --config <path>           Properties/YAML config file supplying the same
+      |                            options (CLI flags override config values)
       |  --schema <path>           Path to the JSON/YAML schema file
       |  --schema-override         Use --schema instead of $schema from docs
       |  --files <f1,f2,...>       File list; overrides positional args
       |  --auto-detect <true|false> Path-based catalog schema detection (default: true)
       |  --catalog-url <url|path>  Schema catalog to fetch; falls back to the bundled snapshot
+      |  --http-timeout <seconds>  Timeout for remote schema fetches (default: 10)
+      |  --ignore-ssl-errors <true|false> Skip SSL certificate validation (default: false)
       |  --report <type>           text (default), json, yaml, junit, sarif, llm
       |  --report-file <name>      Write report to file (default: stdout)
       |  --color <true|false>      ANSI colors in text output (default: true)
@@ -202,46 +225,132 @@ object Validate {
 
   /** Parsed CLI options. `fileArgs` already applies the reference's
     * config-files-override-positional-args rule
-    * (YamlSchemaValidatorRunner.java:70-73).
+    * (YamlSchemaValidatorRunner.java:70-73). `httpTimeout` /
+    * `ignoreSslErrors` parse with the reference's defaults
+    * (YamlSchemaValidatorConfig.java:42,76: 10 s, false) but are inert
+    * beyond the `file:`/local paths in this zero-egress sandbox — the
+    * reference threads them into its HttpClient build
+    * (YamlSchemaValidator.java:346-377).
     */
   final case class Options(schema: Option[String] = None,
       schemaOverride: Boolean = false, format: String = "TEXT",
       reportFile: Option[String] = None, color: Boolean = true,
       compact: Boolean = true, autoDetect: Boolean = true,
       catalogUrl: Option[String] = None,
+      httpTimeout: Int = 10, ignoreSslErrors: Boolean = false,
       help: Boolean = false, configFiles: Option[Seq[String]] = None,
       positional: Seq[String] = Seq.empty) {
     def fileArgs: Seq[String] = configFiles.getOrElse(positional)
   }
 
+  private def splitFiles(v: String): Seq[String] =
+    v.split(',').toSeq.map(_.trim).filter(_.nonEmpty)
+
+  /** One CLI/config option applied to an [[Options]]: every knob from
+    * the reference's YamlSchemaValidatorConfig (java:28-111), addressed
+    * by its kebab-case property name. Shared by the flag parser and the
+    * config-file loader so a config key and its flag cannot drift.
+    */
+  private def applyKnob(o: Options, key: String, v: String): Options =
+    key match {
+      case "schema" => o.copy(schema = Some(v))
+      case "schema-override" => o.copy(schemaOverride = v.toBoolean)
+      case "files" => o.copy(configFiles = Some(splitFiles(v)))
+      case "auto-detect" => o.copy(autoDetect = v.toBoolean)
+      case "catalog-url" => o.copy(catalogUrl = Some(v))
+      case "http-timeout" => o.copy(httpTimeout = v.toInt)
+      case "ignore-ssl-errors" => o.copy(ignoreSslErrors = v.toBoolean)
+      case "report" | "report-type" => o.copy(format = v.toUpperCase)
+      case "report-file" | "report-file-name" =>
+        o.copy(reportFile = Some(v))
+      case "color" => o.copy(color = v.toBoolean)
+      case "compact" => o.copy(compact = v.toBoolean)
+      case other =>
+        throw new IllegalArgumentException(s"unknown option: $other")
+    }
+
+  /** Config keys accepted in a `--config` file: the reference's property
+    * names (Spring relaxed binding — kebab-case or camelCase both bind
+    * to YamlSchemaValidatorConfig's fields), so a user's
+    * `application.properties` knobs carry over verbatim.
+    */
+  val ConfigKeys: Seq[String] = Seq("files", "schema", "schema-override",
+    "auto-detect", "catalog-url", "http-timeout", "ignore-ssl-errors",
+    "report-type", "report-file-name", "color", "compact")
+
+  private def camel(kebab: String): String = {
+    val parts = kebab.split('-')
+    parts.head + parts.tail.map(_.capitalize).mkString
+  }
+
+  /** Load a properties or YAML config file (by extension) into a flat
+    * key→value map. YAML lists (`files: [a, b]`) flatten to the same
+    * comma form the `--files` flag takes.
+    */
+  def readConfigMap(path: String): Map[String, String] = {
+    val text = Files.readString(Paths.get(path))
+    if (path.endsWith(".yml") || path.endsWith(".yaml")) {
+      val root = new ObjectMapper(new YAMLFactory()).readTree(text)
+      val it = root.properties().iterator()
+      val b = Map.newBuilder[String, String]
+      while (it.hasNext) {
+        val e = it.next()
+        val v =
+          if (e.getValue.isArray)
+            e.getValue.elements().asScala.map(_.asText()).mkString(",")
+          else e.getValue.asText()
+        b += e.getKey -> v
+      }
+      b.result()
+    } else {
+      val props = new java.util.Properties()
+      val in = new java.io.StringReader(text)
+      props.load(in)
+      props.stringPropertyNames().asScala
+        .map(k => k -> props.getProperty(k)).toMap
+    }
+  }
+
+  /** Apply a config file over defaults: every reference config knob,
+    * kebab-case or camelCase, unknown keys rejected loudly.
+    */
+  def applyConfig(base: Options, path: String): Options = {
+    val conf = readConfigMap(path)
+    ConfigKeys.foldLeft(base) { (o, key) =>
+      conf.get(key).orElse(conf.get(camel(key))) match {
+        case Some(v) if v.trim.nonEmpty => applyKnob(o, key, v.trim)
+        case _ => o
+      }
+    }
+  }
+
+  /** Parse CLI args with the reference's precedence: defaults <
+    * `--config` file values < explicit flags; config `files` (like
+    * `--files`) overrides positional args.
+    */
   def parseArgs(args: Array[String]): Options = {
-    var o = Options()
+    var muts = Vector.empty[Options => Options]
+    var configPath: Option[String] = None
+    var help = false
     val files = Seq.newBuilder[String]
     var i = 0
     while (i < args.length) {
       args(i) match {
-        case "--help" => o = o.copy(help = true)
-        case "--schema" => o = o.copy(schema = Some(args(i + 1))); i += 1
-        case "--schema-override" => o = o.copy(schemaOverride = true)
-        case "--files" =>
-          o = o.copy(configFiles = Some(args(i + 1).split(',').toSeq
-            .map(_.trim).filter(_.nonEmpty))); i += 1
-        case "--auto-detect" =>
-          o = o.copy(autoDetect = args(i + 1).toBoolean); i += 1
-        case "--catalog-url" =>
-          o = o.copy(catalogUrl = Some(args(i + 1))); i += 1
-        case "--report" =>
-          o = o.copy(format = args(i + 1).toUpperCase); i += 1
-        case "--report-file" =>
-          o = o.copy(reportFile = Some(args(i + 1))); i += 1
-        case "--color" => o = o.copy(color = args(i + 1).toBoolean); i += 1
-        case "--compact" =>
-          o = o.copy(compact = args(i + 1).toBoolean); i += 1
+        case "--help" => help = true
+        case "--config" => configPath = Some(args(i + 1)); i += 1
+        case "--schema-override" =>
+          muts :+= ((o: Options) => o.copy(schemaOverride = true))
+        case flag if flag.startsWith("--") =>
+          val v = args(i + 1)
+          muts :+= ((o: Options) => applyKnob(o, flag.drop(2), v))
+          i += 1
         case f => files += f
       }
       i += 1
     }
-    o.copy(positional = files.result())
+    val base = configPath.foldLeft(Options())(applyConfig)
+    muts.foldLeft(base)((o, f) => f(o))
+      .copy(help = help, positional = files.result())
   }
 
   def main(args: Array[String]): Unit = {

@@ -149,8 +149,15 @@ case class MinHashSignature(child: Expression, numHashes: Int)
   * irrelevant to the sums, and distinctness matches `array_distinct`.
   */
 final class SimHashKernel(bits: Int) extends Serializable {
+  // one digest per executor thread, reset per token — getInstance does a
+  // JCA provider lookup, far too heavy for a per-ROW call in a kernel
+  // (ADVICE r3); ThreadLocal because the kernel object is shared across
+  // a task's codegen instances
+  @transient private lazy val localMd: ThreadLocal[MessageDigest] =
+    ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
+
   def value(words: ArrayData): Long = {
-    val md = MessageDigest.getInstance("MD5")
+    val md = localMd.get()
     val seen = new java.util.HashSet[UTF8String]()
     val votes = new Array[Int](bits)
     val n = words.numElements()

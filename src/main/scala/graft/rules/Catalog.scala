@@ -150,10 +150,24 @@ object Catalog {
       i += 1
     }
     val lastWild = math.max(glob.lastIndexOf('*'), glob.lastIndexOf('?'))
+    val rawSuffix = glob.substring(lastWild + 1)
+    // When the last wildcard is the `**` of a `**/` form, its regex is
+    // "(?:.*" + "/)?" — the slash is INSIDE the optional group, so a
+    // depth-zero target ("docker-compose.yml" vs "**" + "/docker-compose
+    // .yml") legitimately matches without it. Keeping the '/' in the
+    // suffix made endsWith reject exactly those matches (ADVICE r3 high:
+    // root-level files mis-routed by the distributed autodetect). The
+    // slashless remainder is still matched literally by the regex tail,
+    // so stripping it preserves the necessary-condition property.
+    val litSuffix =
+      if (lastWild >= 1 && glob.charAt(lastWild) == '*' &&
+          glob.charAt(lastWild - 1) == '*' && rawSuffix.startsWith("/"))
+        rawSuffix.substring(1)
+      else rawSuffix
     CompiledGlob(sb.append("$").toString,
       basenameOnly = glob.indexOf('/') < 0,
       specificity = glob.count(c => c != '*' && c != '?'),
-      litSuffix = glob.substring(lastWild + 1))
+      litSuffix = litSuffix)
   }
 
   /** Driver-side glob match with full reference semantics (separator

@@ -89,9 +89,18 @@ class CatalogDriftSpec extends SparkSpec {
     // (VERDICT r2 task 8). detect() is the literal SchemaDetector argmax;
     // catalogMatch() is the sorted first-match scan with the litSuffix
     // pre-filter — they must agree on every path.
-    val paths = Catalog.entries.flatMap(_.fileMatch).take(700)
-      .map(g => g.replace("**/", "sub/dir/").replace("**", "deep/x")
-        .replace("*", "name").replace("?", "q"))
+    // each glob instantiated at depth (`**/` -> sub/dir/) AND at depth
+    // ZERO (`**/` stripped — the regex's (?:.*" + "/)? group matches
+    // empty, the case the litSuffix pre-filter wrongly rejected before
+    // the ADVICE r3 fix: endsWith("/docker-compose.yml") vs bare
+    // "docker-compose.yml")
+    val globs = Catalog.entries.flatMap(_.fileMatch).take(700)
+    val paths = (globs.map(g =>
+        g.replace("**/", "sub/dir/").replace("**", "deep/x")
+          .replace("*", "name").replace("?", "q")) ++
+      globs.map(g =>
+        g.replace("**/", "").replace("**", "deep/x")
+          .replace("*", "name").replace("?", "q")))
       .distinct
     val df = paths.zipWithIndex
       .map { case (p, i) => (i.toLong, p, null: String) }

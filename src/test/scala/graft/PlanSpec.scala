@@ -104,14 +104,26 @@ class PlanSpec extends SparkSpec {
     // enter a shuffle; arrays (embeddings, shingle sets, words) re-attach
     // via broadcast-built joins on the candidate-bounded side. AQE is
     // disabled for the audit so the static plan shows every exchange.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.types.ArrayType
+    // candidate frames are now size-gate MATERIALIZED (cached), so the
+    // walk must recurse into each InMemoryRelation's cached plan or the
+    // candidate-generation exchanges would silently fall out of scope
+    def allShuffles(p: SparkPlan): Seq[ShuffleExchangeExec] = p.collect {
+      case e: ShuffleExchangeExec => Seq(e)
+      case s: InMemoryTableScanExec => allShuffles(s.relation.cachedPlan)
+    }.flatten
     def shuffledArrays(df: => DataFrame): Seq[String] = {
+      // drop previously cached candidate frames so the cached plans are
+      // re-planned under the AQE-off audit (the cache manager would
+      // otherwise resurface a plan cached by an earlier AQE-on run)
+      graft.operators.Candidates.releaseAll(blocking = true)
       spark.conf.set("spark.sql.adaptive.enabled", "false")
-      try df.queryExecution.executedPlan.collect {
-        case e: ShuffleExchangeExec =>
-          e.output.filter(_.dataType.isInstanceOf[ArrayType]).map(_.name)
-      }.flatten.distinct
+      try allShuffles(df.queryExecution.executedPlan)
+        .flatMap(_.output.filter(_.dataType.isInstanceOf[ArrayType])
+          .map(_.name)).distinct
       finally spark.conf.set("spark.sql.adaptive.enabled", "true")
     }
     import graft.operators.{Dedup, Similarity, TextOps}
@@ -134,6 +146,43 @@ class PlanSpec extends SparkSpec {
       finally spark.conf.set("spark.sql.adaptive.enabled", "true")
     assert(!keepCols.exists(c => c == "text" || c == "w"),
       s"pipelineKeep shuffles document payloads: $keepCols")
+    graft.operators.Candidates.releaseAll(blocking = true)
+  }
+
+  test("candidate size gate: broadcast under it, plain join above it, " +
+      "same results") {
+    // VERDICT r3 task 2: the candidate-set broadcast must be a gated
+    // CHOICE, not an unconditional hint. Under the gate (default) the
+    // re-attach joins carry a broadcast hint; with the gate forced to 0
+    // every hint disappears (the planner is free to pick a candidate-
+    // bounded shuffle join — or broadcast on its own size estimate,
+    // which is exactly the point: the decision is size-based, never
+    // forced) and the results are identical.
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, JoinHint}
+    import graft.operators.{Candidates, Dedup, Similarity}
+    def joinHints(df: DataFrame): Seq[JoinHint] =
+      df.queryExecution.optimizedPlan.collect { case j: Join => j.hint }
+    def rows(df: DataFrame): Set[String] =
+      df.collect().map(_.toString).toSet
+    Candidates.releaseAll(blocking = true)
+    val smallCos = Similarity.cosineDupsLsh(spark, dir)
+    assert(joinHints(smallCos).exists(_ != JoinHint.NONE),
+      "expected broadcast hints under the gate")
+    val smallCosRows = rows(smallCos)
+    val smallMinhashRows = rows(Dedup.minhashCandidates(spark, dir))
+    Candidates.releaseAll(blocking = true)
+    sys.props("graft.candidates.gate") = "0"
+    try {
+      val largeCos = Similarity.cosineDupsLsh(spark, dir)
+      assert(joinHints(largeCos).forall(_ == JoinHint.NONE),
+        s"gate=0 must drop every join hint: ${joinHints(largeCos)}")
+      assert(rows(largeCos) === smallCosRows)
+      assert(rows(Dedup.minhashCandidates(spark, dir))
+        === smallMinhashRows)
+    } finally {
+      sys.props.remove("graft.candidates.gate")
+      Candidates.releaseAll(blocking = true)
+    }
   }
 
   test("partial aggregation happens map-side before the shuffle") {

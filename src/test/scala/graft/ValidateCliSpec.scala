@@ -233,6 +233,76 @@ class ValidateCliSpec extends SparkSpec {
       === false)
   }
 
+  test("--config file supplies every reference knob; CLI flags override " +
+      "config; config files override positional (YamlSchemaValidatorConfig)") {
+    // properties form, kebab-case keys (Spring relaxed binding)
+    val props = tmpFile("app.properties",
+      """files=c.yaml,d.yaml
+        |schema=/tmp/schema-from-config.json
+        |report-type=json
+        |report-file-name=out.json
+        |color=false
+        |compact=false
+        |auto-detect=false
+        |schema-override=true
+        |http-timeout=30
+        |ignore-ssl-errors=true
+        |catalog-url=file:/tmp/cat.json
+        |""".stripMargin)
+    val o = Validate.parseArgs(Array("--config", props, "positional.yaml"))
+    assert(o.fileArgs === Seq("c.yaml", "d.yaml")) // config files win
+    assert(o.schema === Some("/tmp/schema-from-config.json"))
+    assert(o.format === "JSON" && o.reportFile === Some("out.json"))
+    assert(!o.color && !o.compact && !o.autoDetect && o.schemaOverride)
+    assert(o.httpTimeout === 30 && o.ignoreSslErrors)
+    assert(o.catalogUrl === Some("file:/tmp/cat.json"))
+    // explicit flags OVERRIDE config values, in either arg order
+    val over = Validate.parseArgs(Array("--report", "sarif",
+      "--config", props, "--files", "x.yaml", "--auto-detect", "true"))
+    assert(over.format === "SARIF" && over.fileArgs === Seq("x.yaml"))
+    assert(over.autoDetect && over.schema
+      === Some("/tmp/schema-from-config.json"))
+    // camelCase keys bind too (Spring relaxed binding), YAML form,
+    // including a YAML list for files
+    val yml = tmpFile("app.yml",
+      """files: [e.yaml, f.yaml]
+        |reportType: junit
+        |httpTimeout: 20
+        |ignoreSslErrors: true
+        |""".stripMargin)
+    val y = Validate.parseArgs(Array("--config", yml))
+    assert(y.fileArgs === Seq("e.yaml", "f.yaml"))
+    assert(y.format === "JUNIT" && y.httpTimeout === 20
+      && y.ignoreSslErrors)
+    // defaults match the reference (Config.java:42,76)
+    val d = Validate.parseArgs(Array("a.yaml"))
+    assert(d.httpTimeout === 10 && !d.ignoreSslErrors)
+    // the flags parse standalone too (no-ops beyond the file: paths in
+    // this zero-egress sandbox, documented in Options' scaladoc)
+    val f = Validate.parseArgs(Array("--http-timeout", "5",
+      "--ignore-ssl-errors", "true", "a.yaml"))
+    assert(f.httpTimeout === 5 && f.ignoreSslErrors
+      && f.fileArgs === Seq("a.yaml"))
+    // unknown option: loud failure, not a silent file arg
+    intercept[IllegalArgumentException] {
+      Validate.parseArgs(Array("--no-such-flag", "x"))
+    }
+    // and a config-driven END-TO-END run: no CLI validation flags at
+    // all, schema + files entirely from the config file
+    val schema2 = tmpFile("s.json",
+      """{"type":"object","required":["name"]}""")
+    val good = tmpFile("good.yaml", "name: ok\n")
+    val bad = tmpFile("bad.yaml", "nope: 1\n")
+    val runCfg = tmpFile("run.properties",
+      s"files=$good,$bad\nschema=$schema2\n")
+    val ro = Validate.parseArgs(Array("--config", runCfg))
+    val (rows, summary) = Validate.runFull(spark, ro.fileArgs, ro.schema,
+      ro.schemaOverride, None, ro.autoDetect, ro.catalogUrl)
+    assert(summary.docs === 2 && summary.invalidDocs === 1)
+    assert(rows.exists(r => r.doc_id.startsWith(good) && r.valid))
+    assert(rows.exists(r => r.doc_id.startsWith(bad) && !r.valid))
+  }
+
   test("--catalog-url: custom catalog routes detection; fetch failure " +
       "falls back to the bundled snapshot (SchemaCatalogLoader.java:42-51)") {
     import graft.rules.Catalog
