@@ -7,7 +7,7 @@
 #
 #   SPARK_GRAFT_SCALE_JOB=invariant|full|minhash  (Job A | Job B | Job C)
 #   SPARK_GRAFT_REPLICAS=4000             (20M docs at sf0.1, jobs A/B)
-#   SPARK_GRAFT_MINHASH_REPLICAS=40       (~215k docs at sf0.1, job C —
+#   SPARK_GRAFT_MINHASH_REPLICAS=400      (~2.2M docs at sf0.1, job C —
 #                                          MinHash near-dup end-to-end)
 set -euo pipefail
 cd "$(dirname "$0")/.."
@@ -19,8 +19,11 @@ OPENS="--add-opens java.base/java.lang=ALL-UNNAMED --add-opens java.base/java.la
 SYSPROPS="-Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC -Dspark.sql.optimizer.excludedRules=org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate -XX:ReservedCodeCacheSize=1g"
 
 run_level() {  # cores heap
+  # -Xms=-Xmx: heap growth mid-run caused one-off multi-second full-GC
+  # stalls in the first timed rep of the allocation-heavy dedup job
+  # (round-4 event logs: a single stage with 727 s of GC)
   taskset -c "0-$(( $1 - 1 ))" \
-    java -Xmx"$2" $SYSPROPS $OPENS -cp "$CP" graft.ScalingOne "$1" \
+    java -Xms"$2" -Xmx"$2" $SYSPROPS $OPENS -cp "$CP" graft.ScalingOne "$1" \
     2>/dev/null | grep '"cpus"'
 }
 

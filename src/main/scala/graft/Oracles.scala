@@ -434,9 +434,11 @@ object Oracles {
     * output), the 'en' + quality filter, then min-id dedup on the
     * normalized-content md5.
     */
-  val pipelineKeep: String = corpusCte +
-    """
-      |, sig AS (
+  /** The keep-sweep CTEs over `corpus` — yields `kept(keep_id, copies,
+    * quality_score)`; shared by [[pipelineKeep]] and [[keepSweep]].
+    */
+  private val keepCtes: String =
+    """, sig AS (
       |  SELECT doc_id, text,
       |    CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
       |         WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr
@@ -461,12 +463,17 @@ object Oracles {
       |        'a','and','of','el','la','los','de','le','les','et')))
       |        / CAST(len(w) AS DOUBLE) AS stop_ratio
       |    FROM (SELECT doc_id, text, string_split(text,' ') AS w
-      |          FROM corpus)))
-      |SELECT MIN(doc_id) AS keep_id, CAST(COUNT(*) AS BIGINT) AS copies,
-      |  MIN(quality_score) AS quality_score
-      |FROM sig
-      |WHERE lang_pred = 'en' AND quality_score >= 0.7
-      |GROUP BY md5(lower(trim(regexp_replace(text, ' +', ' ', 'g'))))
+      |          FROM corpus))),
+      |kept AS (
+      |  SELECT MIN(doc_id) AS keep_id, CAST(COUNT(*) AS BIGINT) AS copies,
+      |    MIN(quality_score) AS quality_score
+      |  FROM sig
+      |  WHERE lang_pred = 'en' AND quality_score >= 0.7
+      |  GROUP BY md5(lower(trim(regexp_replace(text, ' +', ' ', 'g')))))""".stripMargin
+
+  val pipelineKeep: String = corpusCte + "\n" + keepCtes +
+    """
+      |SELECT keep_id, copies, quality_score FROM kept
       |ORDER BY keep_id""".stripMargin
 
   private val cosineExpr =
@@ -661,7 +668,11 @@ object Oracles {
     * document-frequency cap (df > 64 chunks are boilerplate and carry
     * no pair signal; sizes stay uncapped) before the pair join.
     */
-  val chunkDups: String = corpusCte + ",\n" + chunksCte("corpus") +
+  /** Chunk-overlap pair CTEs over `corpus` — yields `cp(id_a, id_b,
+    * shared, overlap)` with the df-64 hot-chunk cap; shared by
+    * [[chunkDups]] and the [[keepSweep]] closure.
+    */
+  private val chunkPairCtes: String = chunksCte("corpus") +
     """
       |, ch AS (SELECT DISTINCT doc_id, chunk_hash FROM chunkrows),
       |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM ch GROUP BY 1),
@@ -673,14 +684,46 @@ object Oracles {
       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
       |  FROM chcold a JOIN chcold b ON a.chunk_hash = b.chunk_hash
       |    AND a.doc_id < b.doc_id
-      |  GROUP BY 1, 2)
-      |SELECT id_a, id_b, CAST(shared AS INTEGER) AS shared,
-      |  ROUND(shared / CAST(LEAST(sa.sz, sb.sz) AS DOUBLE), 4) AS overlap
-      |FROM shared
-      |JOIN sizes sa ON sa.doc_id = id_a
-      |JOIN sizes sb ON sb.doc_id = id_b
-      |WHERE shared / CAST(LEAST(sa.sz, sb.sz) AS DOUBLE) >= 0.49995
+      |  GROUP BY 1, 2),
+      |cp AS (
+      |  SELECT id_a, id_b, CAST(shared AS INTEGER) AS shared,
+      |    ROUND(shared / CAST(LEAST(sa.sz, sb.sz) AS DOUBLE), 4)
+      |      AS overlap
+      |  FROM shared
+      |  JOIN sizes sa ON sa.doc_id = id_a
+      |  JOIN sizes sb ON sb.doc_id = id_b
+      |  WHERE shared / CAST(LEAST(sa.sz, sb.sz) AS DOUBLE) >= 0.49995)""".stripMargin
+
+  val chunkDups: String = corpusCte + ",\n" + chunkPairCtes +
+    """
+      |SELECT id_a, id_b, shared, overlap FROM cp
       |ORDER BY id_a, id_b""".stripMargin
+
+  /** Mirrors Clusters.keepSweep: the pipelineKeep survivors minus
+    * non-minimum members of chunk-overlap near-dup components (same
+    * recursive closure as [[dupClusters]], over the cp edges).
+    */
+  val keepSweep: String =
+    corpusCte.replaceFirst("WITH ", "WITH RECURSIVE ") + ",\n" +
+      chunkPairCtes +
+    """
+      |, sym2 AS (
+      |  SELECT id_a AS src, id_b AS dst FROM cp
+      |  UNION ALL
+      |  SELECT id_b, id_a FROM cp),
+      |reach2(id, r) AS (
+      |  SELECT DISTINCT src, src FROM sym2
+      |  UNION
+      |  SELECT s.dst, reach2.r FROM reach2 JOIN sym2 s
+      |  ON s.src = reach2.id),
+      |comp2 AS (
+      |  SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach2
+      |  GROUP BY id)""".stripMargin + "\n" + keepCtes +
+    """
+      |SELECT keep_id, copies, quality_score FROM kept
+      |WHERE keep_id NOT IN (
+      |  SELECT doc_id FROM comp2 WHERE doc_id <> cluster_id)
+      |ORDER BY keep_id""".stripMargin
 
   /** Mirrors Multimodal.resizePlan: identical IEEE double scale math
     * (LEAST of 1 and 64/dim as doubles, FLOOR of the product).

@@ -711,3 +711,20 @@ object ProbeR4d {
     spark.stop()
   }
 }
+
+/** Pre-generate the scaled bucketed tables for a replica level (so the
+  * pinned scaling runs don't pay generation inside an 8-core JVM).
+  */
+object PrepScale {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val replicas = args.headOption.map(_.toInt).getOrElse(8000)
+    val (d, r) = BenchData.ensureBucketed(spark, sfDir, replicas)
+    println(s"[prep] $d ${spark.table(d).count()} docs; $r ready")
+    spark.stop()
+  }
+}

@@ -29,8 +29,12 @@ object Scaling {
     val jobKind = sys.env.getOrElse("SPARK_GRAFT_SCALE_JOB", "invariant")
     val (n, job): (Long, () => Unit) =
       if (jobKind == "minhash") {
+        // 400 replicas ≈ 2.2M docs at sf0.1: large enough that task time
+        // dominates the job's serial driver fraction (gate counts, AQE
+        // stage rounds, broadcast builds ≈ 3-4 s constant — at 40
+        // replicas that fixed cost capped 8→32 efficiency at 0.29)
         val mReplicas =
-          sys.env.getOrElse("SPARK_GRAFT_MINHASH_REPLICAS", "40").toInt
+          sys.env.getOrElse("SPARK_GRAFT_MINHASH_REPLICAS", "400").toInt
         val path = BenchData.ensureTextCorpus(spark, sfDir, mReplicas)
         val corpus = spark.read.parquet(path)
         (corpus.count(), () => {

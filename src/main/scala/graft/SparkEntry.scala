@@ -71,6 +71,7 @@ object SparkEntry {
     "d_chunks" -> (TextOps.contentChunks _),
     "d_chunk_dups" -> ((s, dir) => TextOps.chunkDups(s, dir)),
     "d_dup_clusters" -> (graft.operators.Clusters.dupClusters _),
+    "d_keep_sweep" -> (graft.operators.Clusters.keepSweep _),
     "d_decontam" -> ((s, dir) => Dedup.decontam(s, dir)),
     "e_knn_brute" -> ((s, dir) => Similarity.knnBrute(s, dir)),
     // gated on the LSH scale path; the oracle is the independent exact
@@ -255,6 +256,7 @@ object SparkEntry {
     "d_chunks" -> Oracles.contentChunks,
     "d_chunk_dups" -> Oracles.chunkDups,
     "d_dup_clusters" -> Oracles.dupClusters,
+    "d_keep_sweep" -> Oracles.keepSweep,
     "d_decontam" -> Oracles.decontam,
     "e_knn_brute" -> Oracles.knnBrute,
     "e_cosine_dups" -> Oracles.cosineDups,

@@ -22,6 +22,10 @@ object TextHash {
     GraftBridge.column(MinHashSignature(
       GraftBridge.expression(sh), numHashes))
 
+  def minhashWords(w: Column, n: Int, numHashes: Int): Column =
+    GraftBridge.column(MinHashWords(GraftBridge.expression(w), n,
+      numHashes))
+
   def simhashValue(w: Column, bits: Int): Column =
     GraftBridge.column(SimHashValue(GraftBridge.expression(w), bits))
 
@@ -115,6 +119,93 @@ final class MinHashKernel(numHashes: Int) extends Serializable {
     while (k < numHashes) { out(k) = mins(k); k += 1 }
     new GenericArrayData(out)
   }
+}
+
+/** FUSED words→signature MinHash kernel: slides the n-word window over
+  * the words array, serializes each shingle into a REUSED byte buffer
+  * (space-joined, exactly `concat_ws(" ", ...)`'s bytes) and hashes the
+  * buffer slice — so the signature projection allocates NO shingle
+  * strings, no LinkedHashSet and no shingle array at all. Bit-equal to
+  * `MinHashSignature(Shingles(w))` (FunctionsSpec): XXH64 over the same
+  * bytes is the same base hash, and the per-seed MINIMA are invariant
+  * to the duplicate shingles that `array_distinct` removes. This is the
+  * banding path's projection; at 2M+ docs the shingle-materializing
+  * form spent ~45% of some stages in GC from the per-shingle
+  * UTF8String/set churn (round-4 scaling Job C event logs) — the fused
+  * form is the kernel you actually run at 100 TB.
+  */
+final class MinHashWordsKernel(n: Int, numHashes: Int)
+    extends Serializable {
+  import org.apache.spark.unsafe.Platform
+
+  private val seedH: Array[Long] =
+    Array.tabulate(numHashes)(k => XXH64.hashInt(k, 42L))
+
+  @transient private lazy val localBuf: ThreadLocal[Array[Byte]] =
+    ThreadLocal.withInitial(() => new Array[Byte](256))
+
+  def signature(w: ArrayData): ArrayData = {
+    val len = w.numElements()
+    val out = new Array[Any](numHashes)
+    if (len < n) return new GenericArrayData(out) // = minhash of no shingles
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    var buf = localBuf.get()
+    var i = 0
+    while (i <= len - n) {
+      var total = n - 1
+      var j = 0
+      while (j < n) { total += w.getUTF8String(i + j).numBytes(); j += 1 }
+      if (buf.length < total) {
+        buf = new Array[Byte](math.max(total, buf.length * 2))
+        localBuf.set(buf)
+      }
+      var off = 0
+      j = 0
+      while (j < n) {
+        val s = w.getUTF8String(i + j)
+        s.writeToMemory(buf, Platform.BYTE_ARRAY_OFFSET + off)
+        off += s.numBytes()
+        if (j < n - 1) { buf(off) = ' '; off += 1 }
+        j += 1
+      }
+      val base =
+        XXH64.hashUnsafeBytes(buf, Platform.BYTE_ARRAY_OFFSET, off, 42L)
+      var k = 0
+      while (k < numHashes) {
+        val h = XXH64.hashLong(base, seedH(k))
+        if (h < mins(k)) mins(k) = h
+        k += 1
+      }
+      i += 1
+    }
+    var k = 0
+    while (k < numHashes) { out(k) = mins(k); k += 1 }
+    new GenericArrayData(out)
+  }
+}
+
+/** `array<long>` MinHash signature straight from the words array. */
+case class MinHashWords(child: Expression, n: Int, numHashes: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType)
+
+  @transient private lazy val kernel = new MinHashWordsKernel(n, numHashes)
+
+  override def nullSafeEval(v: Any): Any =
+    kernel.signature(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode = {
+    val h = ctx.addReferenceObj("minHashWordsKernel", kernel,
+      classOf[MinHashWordsKernel].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $h.signature($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : MinHashWords = copy(child = newChild)
+
+  override def prettyName: String = "minhash_words"
 }
 
 /** `array<long>` of the `numHashes` MinHash minima of a shingle array. */

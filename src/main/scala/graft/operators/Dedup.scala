@@ -166,19 +166,34 @@ object Dedup {
     // persist needed for CSE — Probe6). The identical band-exploded plan on
     // both sides of the self-join shares ONE shuffle via ReusedExchange; a
     // production pipeline would instead write the signature table out once.
+    // FUSED words→signature kernel on the banding path: no shingle
+    // strings/sets/arrays allocated (the minima are invariant to the
+    // duplicates array_distinct would drop, so it is bit-equal to
+    // minhashSignature(shinglesOf(w)) — FunctionsSpec). The shingle
+    // SETS are only ever materialized for candidate docs, in the
+    // verify stage below.
     val docs = corpusDf
       .select(col("doc_id"), split(col("text"), " ").as("w"))
-      .select(col("doc_id"), shinglesOf(col("w")).as("sh"))
-      .select(col("doc_id"), minhashSignature(col("sh")).as("sig"))
+      .select(col("doc_id"),
+        graft.functions.TextHash.minhashWords(col("w"), 3, NumHashes)
+          .as("sig"))
     val bandHashes = array((0 until NumHashes / BandSize).map { b =>
       xxhash64((lit(b) +: (0 until BandSize).map(j =>
         element_at(col("sig"), b * BandSize + j + 1))): _*)
     }: _*)
-    val bands = docs
-      .select(col("doc_id"), posexplode(bandHashes).as(Seq("band", "bh")))
-    // candidate ids from bucket collisions — ids only, no text shuffled
+    // ONE packed 64-bit band key per (doc, band): the band index is
+    // already folded into the hash seed, so joining on the single key
+    // yields the same candidate set modulo 2⁻⁶⁴ cross-band collisions —
+    // which the exact-Jaccard verify removes anyway. 16-byte rows
+    // instead of 20, single-column join key.
+    val bands = docs.select(col("doc_id"), explode(bandHashes).as("bh"))
+    // candidate ids from bucket collisions — ids only, no text shuffled.
+    // shuffle_hash: a sort-merge join would sort docs×32 rows on BOTH
+    // sides (the dominant memory-bandwidth cost of the banding stage);
+    // hash-building one side per partition is linear and the build side
+    // is sized by the shuffle partition count at any scale.
     val rawCand = bands.as("a")
-      .join(bands.as("b"), col("a.band") === col("b.band") &&
+      .join(bands.as("b").hint("shuffle_hash"),
         col("a.bh") === col("b.bh") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()

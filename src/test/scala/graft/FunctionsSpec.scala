@@ -148,6 +148,16 @@ class FunctionsSpec extends SparkSpec {
       Dedup.minhashSignatureHof(col("sh")).as("spec"))
       .filter(col("fast") =!= col("spec")).count()
     assert(mh === 0)
+    // FUSED words→signature kernel (no shingle materialization at all)
+    // == signature over the distinct shingle array: XXH64 over the
+    // reused byte buffer is the same base hash as over the concat_ws
+    // string, and minima are invariant to duplicate shingles
+    val mw = sh.select(
+      graft.functions.TextHash
+        .minhashWords(col("w"), 3, Dedup.NumHashes).as("fast"),
+      Dedup.minhashSignatureHof(Dedup.shinglesOfHof(col("w"))).as("spec"))
+      .filter(col("fast") =!= col("spec")).count()
+    assert(mw === 0)
     // SimHash: kernel == fold-then-collapse, including the md5-top-60-bit
     // token hash the DuckDB oracle mirrors
     val sv = sh.select(
