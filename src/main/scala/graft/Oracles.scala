@@ -315,6 +315,60 @@ object Oracles {
       |SELECT cluster_id, doc_id, (doc_id = cluster_id) AS keep
       |FROM comp ORDER BY cluster_id, doc_id""".stripMargin
 
+  /** Mirrors Dedup.incrDedup FROM THE FULL RECOMPUTE: the incremental
+    * path (batch band keys vs the persisted corpus index, verify on
+    * matched candidates only) must equal the exact corpus-wide Jaccard
+    * pairs restricted to (existing doc, increment doc) — id_a below 1e6
+    * is the documents table, id_b ≥ 1e6 the re-keyed increment families,
+    * and jp already orders id_a < id_b so the cross filter is exact.
+    */
+  val incrDedup: String = corpusCte + "\n" + jaccardCtes +
+    """
+      |SELECT id_a, id_b, jaccard FROM jp
+      |WHERE id_a < 1000000 AND id_b >= 1000000
+      |ORDER BY id_a, id_b""".stripMargin
+
+  /** Mirrors Clusters.keepQuality: the same recursive component closure
+    * as [[dupClusters]], joined with the quality composite over the
+    * corpus, keep = the best-quality member per cluster (row_number
+    * with the deterministic quality-desc, doc_id-asc order — arg_max
+    * alone would leave ties engine-defined).
+    */
+  val keepQuality: String =
+    corpusCte.replaceFirst("WITH ", "WITH RECURSIVE ") + "\n" +
+      jaccardCtes +
+    """
+      |, sym AS (
+      |  SELECT id_a AS src, id_b AS dst FROM jp
+      |  UNION ALL
+      |  SELECT id_b, id_a FROM jp),
+      |reach(id, r) AS (
+      |  SELECT DISTINCT src, src FROM sym
+      |  UNION
+      |  SELECT s.dst, reach.r FROM reach JOIN sym s ON s.src = reach.id),
+      |comp AS (
+      |  SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+      |q AS (
+      |  SELECT doc_id,
+      |    ROUND(CAST(CASE WHEN n_tokens >= 10 THEN 0.4 ELSE 0.0 END +
+      |          CASE WHEN punct_ratio <= 0.1 THEN 0.3 ELSE 0.0 END +
+      |          CASE WHEN stop_ratio >= 0.05 THEN 0.3 ELSE 0.0 END
+      |          AS DOUBLE), 4) AS quality_score
+      |  FROM (
+      |    SELECT doc_id, len(w) AS n_tokens,
+      |      (length(text) - length(regexp_replace(text, '[^a-z ]', '',
+      |        'g'))) / CAST(length(text) AS DOUBLE) AS punct_ratio,
+      |      len(list_filter(w, t -> t IN ('der','die','und','das','the',
+      |        'a','and','of','el','la','los','de','le','les','et')))
+      |        / CAST(len(w) AS DOUBLE) AS stop_ratio
+      |    FROM (SELECT doc_id, text, string_split(text,' ') AS w
+      |          FROM corpus)))
+      |SELECT cluster_id, doc_id, quality_score,
+      |  (ROW_NUMBER() OVER (PARTITION BY cluster_id
+      |     ORDER BY quality_score DESC, doc_id) = 1) AS keep
+      |FROM comp JOIN q USING (doc_id)
+      |ORDER BY cluster_id, doc_id""".stripMargin
+
   /** Mirrors Dedup.decontam: per-doc fraction of distinct 3-gram
     * shingles shared with the benchmark docs (doc_id ≡ 11 mod 101),
     * flagged at 0.5.

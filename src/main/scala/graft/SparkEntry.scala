@@ -73,6 +73,8 @@ object SparkEntry {
     "d_dup_clusters" -> (graft.operators.Clusters.dupClusters _),
     "d_keep_sweep" -> (graft.operators.Clusters.keepSweep _),
     "d_decontam" -> ((s, dir) => Dedup.decontam(s, dir)),
+    "d_incr_dedup" -> (Dedup.incrDedup _),
+    "d_keep_quality" -> (graft.operators.Clusters.keepQuality _),
     "e_knn_brute" -> ((s, dir) => Similarity.knnBrute(s, dir)),
     // gated on the LSH scale path; the oracle is the independent exact
     // all-pairs SQL (same pattern as d_minhash_pairs vs d_jaccard_pairs)
@@ -258,6 +260,8 @@ object SparkEntry {
     "d_dup_clusters" -> Oracles.dupClusters,
     "d_keep_sweep" -> Oracles.keepSweep,
     "d_decontam" -> Oracles.decontam,
+    "d_incr_dedup" -> Oracles.incrDedup,
+    "d_keep_quality" -> Oracles.keepQuality,
     "e_knn_brute" -> Oracles.knnBrute,
     "e_cosine_dups" -> Oracles.cosineDups,
     "e_knn_lsh" -> Oracles.knnLsh,

@@ -68,16 +68,25 @@ object Validate {
   def validatedFrame(spark: SparkSession, files: Seq[String],
       schema: Option[String], schemaOverride: Boolean = false,
       stdinText: Option[String] = None, autoDetect: Boolean = true,
-      catalogUrl: Option[String] = None): DataFrame =
-    validatedFrameWithCache(spark, files, schema, schemaOverride,
-      stdinText, autoDetect, catalogUrl)._1
+      catalogUrl: Option[String] = None): DataFrame = {
+    val (out, cached) = validatedFrameWithCache(spark, files, schema,
+      schemaOverride, stdinText, autoDetect, catalogUrl)
+    // the multi-schema path's parsed-docs cache is REGISTERED with the
+    // session-level Candidates ledger so harness releaseAll() reclaims
+    // it — the bare wrapper used to drop the handle and leak one
+    // persisted frame per invocation in a long-lived session (ADVICE
+    // r4). Callers needing precise lifetime control use
+    // [[validatedFrameWithCache]] and unpersist themselves (runFull).
+    cached.foreach(graft.operators.Candidates.register)
+    out
+  }
 
   /** [[validatedFrame]] plus the cached parsed-docs handle (when the
     * multi-schema path cached it) so the caller can unpersist once the
     * result is gathered — [[runFull]] does; leaving it cached leaked
     * blocks across repeated runs in a long-lived session (ADVICE r3).
     */
-  private def validatedFrameWithCache(spark: SparkSession,
+  def validatedFrameWithCache(spark: SparkSession,
       files: Seq[String],
       schema: Option[String], schemaOverride: Boolean = false,
       stdinText: Option[String] = None, autoDetect: Boolean = true,
@@ -206,6 +215,10 @@ object Validate {
       |Note: If no files are provided, or if '-' is used as a filename,
       |the tool reads from stdin.
       |
+      |Every option may also come from GRAFT_* environment variables or
+      |-Dgraft.* system properties (precedence: env < -D properties <
+      |--config file < flags).
+      |
       |Options:
       |  --help                    Show this help message
       |  --config <path>           Properties/YAML config file supplying the same
@@ -311,44 +324,80 @@ object Validate {
     }
   }
 
+  /** Fold every [[ConfigKeys]] knob found by `lookup` over `base` —
+    * the shared application step for the env, property, and file
+    * layers, so no layer's key set can drift from the flags'.
+    */
+  private def applyKeyed(base: Options,
+      lookup: String => Option[String]): Options =
+    ConfigKeys.foldLeft(base) { (o, key) =>
+      lookup(key) match {
+        case Some(v) if v.trim.nonEmpty => applyKnob(o, key, v.trim)
+        case _ => o
+      }
+    }
+
   /** Apply a config file over defaults: every reference config knob,
     * kebab-case or camelCase, unknown keys rejected loudly.
     */
   def applyConfig(base: Options, path: String): Options = {
     val conf = readConfigMap(path)
-    ConfigKeys.foldLeft(base) { (o, key) =>
-      conf.get(key).orElse(conf.get(camel(key))) match {
-        case Some(v) if v.trim.nonEmpty => applyKnob(o, key, v.trim)
-        case _ => o
-      }
-    }
+    applyKeyed(base, key => conf.get(key).orElse(conf.get(camel(key))))
   }
 
-  /** Parse CLI args with the reference's precedence: defaults <
-    * `--config` file values < explicit flags; config `files` (like
-    * `--files`) overrides positional args.
+  /** The environment/system-property config layer — the reference binds
+    * the same knob set through Spring Boot's full property chain
+    * (YamlSchemaValidatorConfig.java:28-111 + relaxed binding), where a
+    * knob can arrive as an env var or a `-D` system property, below
+    * config files and command-line flags. Here: `GRAFT_AUTO_DETECT`
+    * -style env vars first, then `-Dgraft.auto-detect` /
+    * `-Dgraft.autoDetect` properties over them (Spring orders system
+    * properties above env), both below `--config` values and flags.
+    * Maps injectable so ValidateCliSpec can exercise precedence without
+    * mutating the JVM environment.
     */
-  def parseArgs(args: Array[String]): Options = {
+  def envOptions(env: Map[String, String] = sys.env,
+      props: Map[String, String] = sys.props.toMap): Options = {
+    val fromEnv = applyKeyed(Options(),
+      k => env.get("GRAFT_" + k.toUpperCase.replace('-', '_')))
+    applyKeyed(fromEnv,
+      k => props.get("graft." + k).orElse(props.get("graft." + camel(k))))
+  }
+
+  /** Parse CLI args with the reference's precedence: defaults < env
+    * vars < `-D` properties < `--config` file values < explicit flags;
+    * config `files` (like `--files`) overrides positional args.
+    */
+  def parseArgs(args: Array[String],
+      env: Map[String, String] = sys.env,
+      props: Map[String, String] = sys.props.toMap): Options = {
     var muts = Vector.empty[Options => Options]
     var configPath: Option[String] = None
     var help = false
     val files = Seq.newBuilder[String]
+    // a value-taking (or unknown) flag as the LAST token must fail as a
+    // usage error, not a raw ArrayIndexOutOfBounds (ADVICE r4)
+    def valueOf(flag: String, i: Int): String = {
+      require(i + 1 < args.length, s"missing value for $flag")
+      args(i + 1)
+    }
     var i = 0
     while (i < args.length) {
       args(i) match {
         case "--help" => help = true
-        case "--config" => configPath = Some(args(i + 1)); i += 1
+        case "--config" =>
+          configPath = Some(valueOf("--config", i)); i += 1
         case "--schema-override" =>
           muts :+= ((o: Options) => o.copy(schemaOverride = true))
         case flag if flag.startsWith("--") =>
-          val v = args(i + 1)
+          val v = valueOf(flag, i)
           muts :+= ((o: Options) => applyKnob(o, flag.drop(2), v))
           i += 1
         case f => files += f
       }
       i += 1
     }
-    val base = configPath.foldLeft(Options())(applyConfig)
+    val base = configPath.foldLeft(envOptions(env, props))(applyConfig)
     muts.foldLeft(base)((o, f) => f(o))
       .copy(help = help, positional = files.result())
   }

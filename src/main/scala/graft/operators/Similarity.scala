@@ -220,13 +220,22 @@ object Similarity {
     // bounded shuffles (production would bucket the embedding table by
     // vec_id so only pair rows move).
     val (cand, nCand) = Candidates.materialize(rawCand)
+    // semi-join-prune the embedding side to candidate ids BEFORE the
+    // re-attach (mirrors minhashCandidatesOf's candIds prune): above
+    // the gate the attach joins otherwise shuffle the FULL corpus
+    // embedding arrays, not the candidate-bounded set the r4 comment
+    // claimed (ADVICE r4)
+    val candIds = cand.select(col("id_a").as("vec_id"))
+      .unionAll(cand.select(col("id_b").as("vec_id"))).distinct()
+    val cPruned = c.join(Candidates.hintIfSmall(candIds, 2 * nCand,
+      Candidates.IdPairRowGate), Seq("vec_id"), "left_semi")
     val withA = Candidates
       .hintIfSmall(cand, nCand, Candidates.IdPairRowGate)
-      .join(c.select(col("vec_id").as("id_a"), col("e").as("ea")),
+      .join(cPruned.select(col("vec_id").as("id_a"), col("e").as("ea")),
         Seq("id_a"))
     Candidates.hintIfSmall(withA, nCand,
         Candidates.ArrayPayloadRowGate)
-      .join(c.select(col("vec_id").as("id_b"), col("e").as("eb")),
+      .join(cPruned.select(col("vec_id").as("id_b"), col("e").as("eb")),
         Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         round(cosine(col("ea"), col("eb")), 4).as("sim"))
@@ -292,10 +301,16 @@ object Similarity {
     // candidate set is data-dependent — gate it
     val (cand, nCand) = Candidates.materialize(rawCand)
     val withQe = cand.join(broadcast(queries(s, dir)), Seq("qid"))
+    // embedding side pruned to candidate vec_ids before the attach —
+    // above the gate the full corpus arrays otherwise shuffle (ADVICE r4)
+    val candVecIds = cand.select(col("vec_id")).distinct()
+    val corpusE = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"))
+      .join(Candidates.hintIfSmall(candVecIds, nCand,
+        Candidates.IdPairRowGate), Seq("vec_id"), "left_semi")
     val scored = Candidates.hintIfSmall(withQe, nCand,
         Candidates.ArrayPayloadRowGate)
-      .join(Tables.embeddings(s, dir).select(col("vec_id"),
-        col("embedding")), Seq("vec_id"))
+      .join(corpusE, Seq("vec_id"))
       .select(col("qid"), col("vec_id"),
         round(cosine(col("qe"), col("embedding")), 4).as("sim"))
     val w = Window.partitionBy(col("qid"))
@@ -335,10 +350,16 @@ object Similarity {
     // candidate-bounded shuffle
     val (cand, nCand) = Candidates.materialize(rawCand)
     val withQe = cand.join(broadcast(queries(s, dir)), Seq("qid"))
+    // embedding side pruned to candidate vec_ids before the attach —
+    // above the gate the full corpus arrays otherwise shuffle (ADVICE r4)
+    val candVecIds = cand.select(col("vec_id")).distinct()
+    val corpusE = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"))
+      .join(Candidates.hintIfSmall(candVecIds, nCand,
+        Candidates.IdPairRowGate), Seq("vec_id"), "left_semi")
     val scored = Candidates.hintIfSmall(withQe, nCand,
         Candidates.ArrayPayloadRowGate)
-      .join(Tables.embeddings(s, dir).select(col("vec_id"),
-        col("embedding")), Seq("vec_id"))
+      .join(corpusE, Seq("vec_id"))
       .select(col("qid"), col("vec_id"),
         round(cosine(col("qe"), col("embedding")), 4).as("sim"))
     val w = Window.partitionBy(col("qid"))

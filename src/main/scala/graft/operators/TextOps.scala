@@ -153,6 +153,25 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** `(doc_id, quality_score)` over any `(doc_id, text)` frame — the
+    * composite score alone, signals staged once (same no-CSE discipline
+    * as [[quality]]). The quality input to cluster keep decisions
+    * ([[Clusters.keepQuality]]): at 100 TB this is a scan-speed
+    * projection and only (doc_id, score) scalars ever leave it.
+    */
+  def qualityScoresOf(docs: DataFrame): DataFrame = {
+    val staged = withWords(docs).select(
+      col("doc_id"),
+      size(col("w")).as("n_tok"),
+      length(col("text")).as("n_char"),
+      (length(col("text")) -
+        length(regexp_replace(col("text"), "[^a-z ]", ""))).as("non_alpha"),
+      stopwordCount(col("w"), Stopwords.flatMap(_._2).distinct).as("stops"))
+    staged.select(col("doc_id"),
+      qualityScoreFromSignals(col("n_tok"), col("n_char"),
+        col("non_alpha"), col("stops")).as("quality_score"))
+  }
+
   /** Token counting: whitespace tokens, regex word tokens (a BPE-ish
     * `[a-z]+|[0-9]+` segmentation), and a chars/4 BPE-count estimate.
     */

@@ -303,6 +303,56 @@ class ValidateCliSpec extends SparkSpec {
     assert(rows.exists(r => r.doc_id.startsWith(bad) && !r.valid))
   }
 
+  test("env/property config layer: GRAFT_* env and -Dgraft.* properties " +
+      "bind every knob below files and flags (Spring ordering)") {
+    // env-only: knobs arrive with no flags at all
+    val envOnly = Validate.parseArgs(Array.empty[String],
+      env = Map("GRAFT_REPORT_TYPE" -> "json", "GRAFT_HTTP_TIMEOUT" -> "5",
+        "GRAFT_FILES" -> "e1.yaml,e2.yaml", "GRAFT_AUTO_DETECT" -> "false"),
+      props = Map.empty)
+    assert(envOnly.format === "JSON" && envOnly.httpTimeout === 5)
+    assert(envOnly.fileArgs === Seq("e1.yaml", "e2.yaml"))
+    assert(!envOnly.autoDetect)
+    // -D properties bind too (kebab or camel) and sit ABOVE env
+    val propsOver = Validate.parseArgs(Array.empty[String],
+      env = Map("GRAFT_HTTP_TIMEOUT" -> "5", "GRAFT_COLOR" -> "false"),
+      props = Map("graft.http-timeout" -> "7", "graft.reportType" -> "yaml"))
+    assert(propsOver.httpTimeout === 7) // property beats env
+    assert(!propsOver.color)           // env alone still binds
+    assert(propsOver.format === "YAML")
+    // full chain: env < property < config file < flag
+    val cfg = tmpFile("prec.properties", "http-timeout=9\n")
+    val fileOver = Validate.parseArgs(Array("--config", cfg),
+      env = Map("GRAFT_HTTP_TIMEOUT" -> "5"),
+      props = Map("graft.http-timeout" -> "7"))
+    assert(fileOver.httpTimeout === 9)
+    val flagOver = Validate.parseArgs(
+      Array("--config", cfg, "--http-timeout", "11"),
+      env = Map("GRAFT_HTTP_TIMEOUT" -> "5"),
+      props = Map("graft.http-timeout" -> "7"))
+    assert(flagOver.httpTimeout === 11)
+    // unset layers leave the reference defaults intact
+    val none = Validate.parseArgs(Array.empty[String],
+      env = Map.empty, props = Map.empty)
+    assert(none.httpTimeout === 10 && none.format === "TEXT")
+  }
+
+  test("a value-taking or unknown flag as the last token is a usage " +
+      "error, not an ArrayIndexOutOfBounds (ADVICE r4)") {
+    val e1 = intercept[IllegalArgumentException] {
+      Validate.parseArgs(Array("--schema"))
+    }
+    assert(e1.getMessage.contains("missing value for --schema"))
+    val e2 = intercept[IllegalArgumentException] {
+      Validate.parseArgs(Array("a.yaml", "--no-such-flag"))
+    }
+    assert(e2.getMessage.contains("missing value for --no-such-flag"))
+    val e3 = intercept[IllegalArgumentException] {
+      Validate.parseArgs(Array("--config"))
+    }
+    assert(e3.getMessage.contains("missing value for --config"))
+  }
+
   test("--catalog-url: custom catalog routes detection; fetch failure " +
       "falls back to the bundled snapshot (SchemaCatalogLoader.java:42-51)") {
     import graft.rules.Catalog
