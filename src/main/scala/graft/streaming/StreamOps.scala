@@ -112,4 +112,127 @@ object StreamOps {
           }
       }
   }
+
+  final case class TextDoc(doc_id: Long, text: String,
+      event_time: Timestamp)
+  final case class BandEvent(bh: Long, doc_id: Long, event_time: Timestamp)
+  final case class BandCandidate(id_a: Long, id_b: Long, bh: Long)
+
+  /** LSH band events of a `(doc_id: Long, text, event_time)` doc stream:
+    * the fused words→MinHash kernel plus the SAME packed band keys as
+    * the batch path ([[graft.operators.Dedup.bandHashesOf]] — shared
+    * expression, so stream and batch band keys are bit-identical by
+    * construction; StreamingSpec cross-checks against
+    * [[graft.operators.Dedup.bandKeysOf]]). Pure projection + explode —
+    * stateless, runs at scan speed in every micro-batch.
+    */
+  def bandEvents(docStream: DataFrame): Dataset[BandEvent] = {
+    import docStream.sparkSession.implicits._
+    import graft.operators.Dedup
+    docStream
+      .select(col("doc_id"), col("event_time"),
+        split(col("text"), " ").as("w"))
+      .select(col("doc_id"), col("event_time"),
+        graft.functions.TextHash.minhashWords(col("w"), 3, Dedup.NumHashes)
+          .as("sig"))
+      .select(explode(Dedup.bandHashesOf(col("sig"))).as("bh"),
+        col("doc_id"), col("event_time"))
+      .as[BandEvent]
+  }
+
+  /** Streaming near-dup CANDIDATES — the continuous analogue of the
+    * batch MinHash banding join
+    * ([[graft.operators.Dedup.minhashCandidatesOf]]): per band key, the
+    * FIRST arrival claims the band (state = one 8-byte doc_id — the
+    * same ids-only, 16-bytes-per-row discipline as the batch index;
+    * text and signatures never enter state), and every LATER arrival on
+    * a claimed band emits a `(min, max, bh)` candidate pair against the
+    * band representative.
+    *
+    * Representative-only pairing keeps the per-band output LINEAR in
+    * arrivals — the streaming counterpart of the batch hot-chunk df cap:
+    * a boilerplate band key that would pair quadratically in a bucket
+    * join instead emits one pair per arrival. Two later arrivals b, c on
+    * a band claimed by a emit (a,b) and (a,c) but not (b,c); the
+    * transitive closure ([[graft.operators.Clusters]]) reassembles the
+    * component, so cluster-level dedup decisions are unchanged —
+    * StreamingSpec asserts component-equality with the batch pair set.
+    * Same pair may emit from several bands/micro-batches (multiplicity
+    * is deduped at the sink, where the verify's merge-on-write lands).
+    * Band state expires one hour past the watermark, bounding state by
+    * the retention window's distinct-band count — the same
+    * late-duplicate re-emission tradeoff as [[streamingDedup]].
+    */
+  def streamingBandCandidates(bands: Dataset[BandEvent])
+      : Dataset[BandCandidate] = {
+    import bands.sparkSession.implicits._
+    bands
+      .withWatermark("event_time", "10 minutes")
+      .groupByKey(_.bh)
+      .flatMapGroupsWithState[Long, BandCandidate](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (bh: Long, events: Iterator[BandEvent],
+         state: GroupState[Long]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            // deterministic within a micro-batch: earliest (then
+            // smallest-id) arrival claims an unclaimed band
+            val sorted = events.toArray
+              .sortBy(e => (e.event_time.getTime, e.doc_id))
+            val out = Seq.newBuilder[BandCandidate]
+            var rep = state.getOption
+            sorted.foreach { e =>
+              rep match {
+                case None =>
+                  rep = Some(e.doc_id)
+                  state.update(e.doc_id)
+                case Some(r) if r != e.doc_id =>
+                  out += BandCandidate(math.min(r, e.doc_id),
+                    math.max(r, e.doc_id), bh)
+                case _ => () // re-delivery of the representative itself
+              }
+            }
+            if (sorted.nonEmpty) state.setTimeoutTimestamp(
+              sorted.last.event_time.getTime + 60L * 60 * 1000)
+            out.result().iterator
+          }
+      }
+  }
+
+  /** Streaming near-dup dedup end-to-end: band the doc stream, emit
+    * candidates from band state, then VERIFY each candidate with exact
+    * Jaccard via two stream-static joins against the corpus store (the
+    * table ingested docs land in before dedup decisions — production
+    * points this at the bucketed-by-id sink, making both lookups
+    * co-located). Verification is candidate-bounded: shingle sets are
+    * computed only for the joined candidate rows, never the corpus or
+    * the stream at large. Emits `(id_a, id_b, jaccard)` with J ≥
+    * `threshold`, append mode.
+    */
+  def streamingNearDup(docStream: DataFrame, corpusStore: DataFrame,
+      threshold: Double = 0.6): DataFrame = {
+    import graft.operators.Dedup
+    val cand = streamingBandCandidates(bandEvents(docStream)).toDF()
+    // join raw TEXT first, shingle the joined rows after: the per-batch
+    // static-side work is then a column-pruned (doc_id, text) scan, and
+    // the shingle kernels run only on candidate rows — shingling the
+    // whole store before the join would re-shingle the corpus every
+    // micro-batch
+    val txt = corpusStore.select(col("doc_id"), col("text"))
+    cand
+      .join(txt.select(col("doc_id").as("id_a"), col("text").as("t_a")),
+        Seq("id_a"))
+      .join(txt.select(col("doc_id").as("id_b"), col("text").as("t_b")),
+        Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        Dedup.shinglesOf(split(col("t_a"), " ")).as("sh_a"),
+        Dedup.shinglesOf(split(col("t_b"), " ")).as("sh_b"))
+      .withColumn("jaccard", round(
+        size(array_intersect(col("sh_a"), col("sh_b"))) /
+          size(array_union(col("sh_a"), col("sh_b"))), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
 }

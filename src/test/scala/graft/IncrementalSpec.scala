@@ -75,6 +75,32 @@ class IncrementalSpec extends SparkSpec {
     assert(stored.count() === corpusText.count() * bandsPerDoc)
   }
 
+  test("appending a batch's signatures makes the NEXT increment dedup " +
+      "against corpus ∪ batch without re-signing the corpus") {
+    // corpus: 5 disjoint docs; batch1: near-dup of doc 1; batch2:
+    // near-dup of both doc 1 and batch1's doc
+    def words(p: String) = (1 to 30).map(i => s"$p$i").mkString(" ")
+    val corpus = (1L to 5L).map(i => (i, words(s"c${i}w")))
+      .toDF("doc_id", "text")
+    val batch1 = Seq((101L, words("c1w") + " zzz zzz"))
+      .toDF("doc_id", "text")
+    val batch2 = Seq((201L, words("c1w") + " yyy yyy"))
+      .toDF("doc_id", "text")
+    val path = Dedup.sigTablePath("append-spec") + "-append"
+    Dedup.writeSignatureTable(corpus, path)
+    val (out1, _) = Dedup.incrementalDedup(spark, batch1, corpus, path)
+    assert(out1.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      === Set((1L, 101L)))
+    Dedup.appendSignatures(batch1, path)
+    // the NEXT increment sees corpus ∪ batch1 through the index alone;
+    // its text store is corpus ∪ batch1 (the sink batch1 landed in)
+    val (out2, _) = Dedup.incrementalDedup(spark, batch2,
+      corpus.unionAll(batch1), path)
+    assert(out2.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      === Set((1L, 201L), (101L, 201L)))
+    Candidates.releaseAll(blocking = true)
+  }
+
   test("connected components: empty edge set returns an empty frame " +
       "(ADVICE r4 — no NPE on the null convergence signal)") {
     val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")

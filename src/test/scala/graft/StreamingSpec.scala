@@ -6,8 +6,9 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
 import graft.model.{Doc, Span}
+import graft.operators.Dedup
 import graft.streaming.StreamOps
-import graft.streaming.StreamOps.{FpEvent, PartEvent, TimedDoc}
+import graft.streaming.StreamOps.{FpEvent, PartEvent, TextDoc, TimedDoc}
 
 class StreamingSpec extends SparkSpec {
   import spark.implicits._
@@ -77,6 +78,114 @@ class StreamingSpec extends SparkSpec {
       val rows = spark.table("dedup")
         .as[(String, String)].collect().toSet
       assert(rows === Set(("f1", "a"), ("f2", "c"), ("f3", "e")))
+    } finally q.stop()
+  }
+
+  // near-dup stream fixture: 1, 2, 3 are mutual near-dups (a 30-word
+  // base ± a 2-word suffix → pairwise J ≥ 0.87); 9 shares nothing
+  private val base = (1 to 30).map(i => s"a$i").mkString(" ")
+  private val other = (1 to 30).map(i => s"z$i").mkString(" ")
+  private def textDocs = Map(
+    1L -> base, 2L -> (base + " k1 k1"), 3L -> (base + " k2 k2"),
+    9L -> other)
+  private def docsDf = {
+    import spark.implicits._
+    textDocs.toSeq.map { case (id, t) => (id, t) }.toDF("doc_id", "text")
+  }
+  private def components(pairs: Set[(Long, Long)],
+      nodes: Set[Long]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    nodes.map(n => n -> find(n)).toMap
+  }
+
+  test("streaming band events are bit-identical to the batch band keys") {
+    // bandEvents is a pure projection — run it in batch mode on the same
+    // rows the batch path sees and compare keys exactly
+    val withTime = docsDf.withColumn("event_time",
+      lit(ts(0)).cast("timestamp"))
+    val streamed = StreamOps.bandEvents(withTime)
+      .select("doc_id", "bh").as[(Long, Long)].collect().toSet
+    val batch = Dedup.bandKeysOf(docsDf)
+      .as[(Long, Long)].collect().toSet
+    assert(streamed === batch)
+    assert(streamed.size === 4 * Dedup.NumHashes / Dedup.BandSize)
+  }
+
+  test("streaming band candidates: band state persists across " +
+      "micro-batches, representatives pair later arrivals, disjoint " +
+      "docs never pair") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[TextDoc]
+    val out = StreamOps.streamingBandCandidates(
+      StreamOps.bandEvents(input.toDF()))
+    val q = out.writeStream.format("memory").queryName("bandcand")
+      .outputMode("append").start()
+    try {
+      input.addData(TextDoc(1L, textDocs(1L), ts(0)),
+        TextDoc(9L, textDocs(9L), ts(0)))
+      q.processAllAvailable()
+      assert(spark.table("bandcand").count() === 0L,
+        "disjoint docs must not pair")
+      input.addData(TextDoc(2L, textDocs(2L), ts(1)),
+        TextDoc(3L, textDocs(3L), ts(2)))
+      q.processAllAvailable()
+      val pairs = spark.table("bandcand").select("id_a", "id_b")
+        .as[(Long, Long)].collect().toSet
+      // 2 and 3 must both pair with the batch-1 representative 1 — the
+      // state survived the micro-batch boundary
+      assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 3L)), pairs)
+      assert(pairs.forall { case (a, b) => a != 9L && b != 9L }, pairs)
+      // soundness: every emitted pair shares at least one batch band key
+      val byDoc = Dedup.bandKeysOf(docsDf).as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      pairs.foreach { case (a, b) =>
+        assert(byDoc(a).intersect(byDoc(b)).nonEmpty, s"($a,$b)")
+      }
+    } finally q.stop()
+  }
+
+  test("streaming near-dup end-to-end: verified pairs are " +
+      "component-equal to the batch MinHash pipeline") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[TextDoc]
+    val out = StreamOps.streamingNearDup(input.toDF(), docsDf)
+    val q = out.writeStream.format("memory").queryName("neardup")
+      .outputMode("append").start()
+    try {
+      input.addData(TextDoc(1L, textDocs(1L), ts(0)),
+        TextDoc(9L, textDocs(9L), ts(0)))
+      q.processAllAvailable()
+      input.addData(TextDoc(2L, textDocs(2L), ts(1)),
+        TextDoc(3L, textDocs(3L), ts(2)))
+      q.processAllAvailable()
+      val got = spark.table("neardup")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(got.forall(_._3 >= 0.6), got)
+      // every pair's J matches the exact batch computation
+      val shingles = textDocs.view.mapValues(t =>
+        t.split(" ").sliding(3).map(_.mkString(" ")).toSet).toMap
+      got.foreach { case (a, b, j) =>
+        val (sa, sb) = (shingles(a), shingles(b))
+        val exact = sa.intersect(sb).size.toDouble / sa.union(sb).size
+        assert(math.abs(j - (math.rint(exact * 10000) / 10000)) < 1e-9,
+          s"($a,$b): $j vs $exact")
+      }
+      // representative-only pairing may skip (2,3) but must yield the
+      // SAME components as the batch pipeline's verified pair set
+      val batchPairs = Dedup.minhashCandidatesOf(docsDf)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      val nodes = textDocs.keySet
+      assert(components(got.map(p => (p._1, p._2)), nodes) ===
+        components(batchPairs, nodes))
+      graft.operators.Candidates.releaseAll(blocking = true)
     } finally q.stop()
   }
 
