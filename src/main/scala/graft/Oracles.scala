@@ -674,6 +674,36 @@ object Oracles {
       |SELECT id_a, id_b, sim FROM pairs WHERE sim >= 0.9
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** Mirrors Similarity.incrCosineDups: the full-recompute ground truth
+    * for the incremental embedding path — exact cosine over the SAME
+    * perturbed corpus as [[cosineDups]], restricted to (existing corpus,
+    * increment) cross pairs. The incremental operator must equal the
+    * full recompute on exactly this set (batch-internal pairs are the
+    * batch operator's job, excluded on both sides).
+    */
+  val cosineIncr: String =
+    """WITH base AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      |pert AS (
+      |  SELECT vec_id + 100000 AS vec_id,
+      |    list_transform(generate_series(1, len(e)),
+      |      i -> CASE WHEN i <= 8 THEN e[i]*0.5 ELSE e[i] END) AS e
+      |  FROM base WHERE vec_id%40 = 0),
+      |pert2 AS (
+      |  SELECT vec_id + 200000 AS vec_id,
+      |    list_transform(generate_series(1, len(e)),
+      |      i -> CASE WHEN i <= 16 THEN e[i]*0.25 ELSE e[i] END) AS e
+      |  FROM base WHERE vec_id%40 = 20),
+      |batch AS (SELECT * FROM pert UNION ALL SELECT * FROM pert2),
+      |pairs AS (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |    ROUND(list_dot_product(a.e, b.e) /
+      |      (sqrt(list_dot_product(a.e, a.e)) *
+      |       sqrt(list_dot_product(b.e, b.e))), 4) AS sim
+      |  FROM base a JOIN batch b ON true)
+      |SELECT id_a, id_b, sim FROM pairs WHERE sim >= 0.9
+      |ORDER BY id_a, id_b""".stripMargin
+
   val mediaFeatures: String =
     """SELECT 'm'||CAST(x AS VARCHAR) AS media_ref,
       |  CAST(16 AS INTEGER) AS n_bytes,

@@ -79,6 +79,7 @@ object SparkEntry {
     // gated on the LSH scale path; the oracle is the independent exact
     // all-pairs SQL (same pattern as d_minhash_pairs vs d_jaccard_pairs)
     "e_cosine_dups" -> ((s, dir) => Similarity.cosineDupsLsh(s, dir)),
+    "e_incr_dups" -> (Similarity.incrCosineDups _),
     "e_knn_lsh" -> ((s, dir) => Similarity.knnLsh(s, dir)),
     "e_knn_ivf" -> ((s, dir) => Similarity.knnIvf(s, dir)),
     "m_media_features" -> (Multimodal.mediaFeatures _),
@@ -264,6 +265,7 @@ object SparkEntry {
     "d_keep_quality" -> Oracles.keepQuality,
     "e_knn_brute" -> Oracles.knnBrute,
     "e_cosine_dups" -> Oracles.cosineDups,
+    "e_incr_dups" -> Oracles.cosineIncr,
     "e_knn_lsh" -> Oracles.knnLsh,
     "e_knn_ivf" -> Oracles.knnIvf,
     "m_media_features" -> Oracles.mediaFeatures,

@@ -254,6 +254,106 @@ object Similarity {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Fixture split for the incremental embedding path (mirrors
+    * [[graft.operators.Dedup.incrementBatch]]): the EXISTING corpus is
+    * the embeddings table; the INCREMENT is [[dupCorpus]]'s re-keyed
+    * perturbed classes (vec_id ≥ 1e5) — today's embedding batch against
+    * yesterday's indexed corpus.
+    */
+  def embIncrementBatch(s: SparkSession, dir: String): DataFrame =
+    dupCorpus(s, dir).filter(col("vec_id") >= 100000L)
+
+  /** Write the corpus near-dup sign index ONCE: the `(vec_id, tbl, sig)`
+    * table of all [[DupTables]] 16-bit signatures — 16 rows × ~16 bytes
+    * per vector, independent of embedding width. The embedding analogue
+    * of [[graft.operators.Dedup.writeSignatureTable]]; production
+    * appends each ingested batch's keys here (bucketed by (tbl, sig)
+    * for a zero-shuffle co-located increment join).
+    */
+  def writeSignTable(corpus: DataFrame, path: String): Unit =
+    corpus.select(col("vec_id"),
+        posexplode(dupSignatures(col("e"))).as(Seq("tbl", "sig")))
+      .write.mode("overwrite").parquet(path)
+
+  /** Incremental embedding-cosine near-dup dedup of a NEW batch against
+    * an EXISTING corpus via its persisted [[writeSignTable]] index — the
+    * embedding-modality twin of
+    * [[graft.operators.Dedup.incrementalDedup]]: the batch is signed and
+    * Hamming-1 probed (one-sided, on the batch side — the same coverage
+    * as [[cosineDupsLsh]]'s probe, so fixture recall carries over), its
+    * probe keys meet the STORED corpus keys, and exact cosine verifies
+    * the matched candidates only. Emits `(id_a, id_b, sim)` with `id_a`
+    * an existing-corpus vector, `id_b` a batch vector, sim ≥
+    * `threshold`. Batch-INTERNAL duplicates are the batch operator's
+    * job ([[cosineDupsLsh]] over the batch), not this one's.
+    *
+    * Scale shape (100 TB corpus, GB-scale batch): the corpus term
+    * appears exactly twice — the stored key table streams through one
+    * hash join against the size-gated batch probe keys (production
+    * buckets the index by (tbl, sig): zero-shuffle), and corpus
+    * EMBEDDINGS are read once, semi-join-pruned to matched candidate
+    * ids BEFORE any array moves (gate-hinted ids build — un-hinted the
+    * static plan sort-merges the embedding side into an exchange, the
+    * ADVICE r4 lesson). The returned Observation counts exactly how
+    * many corpus embeddings were re-read; IncrementalSpec asserts it
+    * equals the matched-candidate count.
+    */
+  def incrementalCosineDups(s: SparkSession, batch: DataFrame,
+      corpusEmb: DataFrame, sigPath: String, threshold: Double = 0.9)
+      : (DataFrame, org.apache.spark.sql.Observation) = {
+    val stored = s.read.parquet(sigPath)
+    val keyedB = batch.select(col("vec_id"),
+      posexplode(dupSignatures(col("e"))).as(Seq("tbl", "sig")))
+    val probeMasks = 0 +: (0 until DupBits).map(1 << _)
+    val (bb, nBb) = Candidates.materialize(
+      keyedB.select(col("vec_id").as("new_id"), col("tbl"),
+        explode(array(probeMasks.map(m =>
+          col("sig").bitwiseXOR(lit(m))): _*)).as("sig")))
+    val rawCand = stored
+      .join(Candidates.hintIfSmall(bb, nBb, Candidates.IdPairRowGate),
+        Seq("tbl", "sig"))
+      .select(col("vec_id").as("id_a"), col("new_id").as("id_b"))
+      .distinct()
+    // staged; the pair count rides the ids-only materialization below
+    val candObs = org.apache.spark.sql.Observation()
+    val cand = Candidates.stage(
+      rawCand.observe(candObs, count(lit(1)).as("n")))
+    val (oldIds, nOld) = Candidates.materialize(
+      cand.select(col("id_a").as("vec_id")).distinct())
+    val nCand = candObs.get("n").asInstanceOf[Long]
+    val obs = org.apache.spark.sql.Observation()
+    val (oldE, nOldE) = Candidates.materialize(corpusEmb
+      .join(Candidates.hintIfSmall(oldIds, nOld,
+        Candidates.IdPairRowGate), Seq("vec_id"), "left_semi")
+      .observe(obs, count(lit(1)).as("n_reread"))
+      .select(col("vec_id").as("id_a"), col("e").as("ea")))
+    // batch embeddings: batch-bounded by definition, still gated
+    val newE = Candidates.hintIfSmall(
+      batch.select(col("vec_id").as("id_b"), col("e").as("eb")),
+      nBb / (DupTables * (DupBits + 1)), Candidates.ArrayPayloadRowGate)
+    val out = Candidates.hintIfSmall(cand, nCand, Candidates.IdPairRowGate)
+      .join(Candidates.hintIfSmall(oldE, nOldE,
+        Candidates.ArrayPayloadRowGate), Seq("id_a"))
+      .join(newE, Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(cosine(col("ea"), col("eb")), 4).as("sim"))
+      .filter(col("sim") >= threshold)
+      .orderBy(col("id_a"), col("id_b"))
+    (out, obs)
+  }
+
+  /** The oracle-gated `e_incr_dups` entry: sign the existing corpus once
+    * (the write is part of the honest cost), then dedup the embedding
+    * increment against the stored index.
+    */
+  def incrCosineDups(s: SparkSession, dir: String): DataFrame = {
+    val corpus = Tables.embeddings(s, dir).select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("e"))
+    val path = graft.operators.Dedup.sigTablePath(dir) + "-emb"
+    writeSignTable(corpus, path)
+    incrementalCosineDups(s, embIncrementBatch(s, dir), corpus, path)._1
+  }
+
   /** IVF parameters: IvfCells sampled centroids (an IVF-flat coarse
     * quantizer — centroids are a deterministic corpus sample, the
     * vectors with vec_id ≡ 7 (mod 31), first IvfCells by vec_id, so the

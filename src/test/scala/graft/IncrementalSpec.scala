@@ -75,6 +75,45 @@ class IncrementalSpec extends SparkSpec {
     assert(stored.count() === corpusText.count() * bandsPerDoc)
   }
 
+  test("incremental embedding-cosine dedup against the persisted sign " +
+      "index equals the full recompute's cross pairs, and re-reads only " +
+      "matched candidates") {
+    import graft.operators.Similarity
+    // full-recompute ground truth: exact all-pairs cosine restricted to
+    // (existing corpus, increment) cross pairs
+    val expected = Similarity.cosineDups(spark, dir01)
+      .filter(col("id_a") < 100000L && col("id_b") >= 100000L)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(expected.size >= 10, s"cross-pair fixtures: ${expected.size}")
+    val corpus = Tables.embeddings(spark, dir01).select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("e"))
+    val nCorpus = corpus.count()
+    val path = Dedup.sigTablePath(dir01) + "-emb-spec"
+    Similarity.writeSignTable(corpus, path)
+    val (out, obs) = Similarity.incrementalCosineDups(spark,
+      Similarity.embIncrementBatch(spark, dir01), corpus, path)
+    val got = out.as[(Long, Long, Double)].collect().toSet
+    assert(got === expected)
+    // the observation proves the corpus embedding re-read was candidate-
+    // bounded: matched candidates recomputed independently from the keys
+    val stored = spark.read.parquet(path)
+    val batchKeys = Similarity.embIncrementBatch(spark, dir01)
+      .select(col("vec_id").as("new_id"),
+        posexplode(Similarity.dupSignatures(col("e")))
+          .as(Seq("tbl", "sig")))
+    val probed = batchKeys.select(col("new_id"), col("tbl"),
+      explode(array((0 +: (0 until Similarity.DupBits).map(1 << _)).map(
+        m => col("sig").bitwiseXOR(lit(m))): _*)).as("sig"))
+    val nMatched = stored.join(probed, Seq("tbl", "sig"))
+      .select("vec_id").distinct().count()
+    val reread = obs.get("n_reread").asInstanceOf[Long]
+    assert(reread === nMatched,
+      s"re-read $reread, matched candidates $nMatched")
+    assert(reread < nCorpus / 2,
+      s"re-read $reread of $nCorpus corpus vectors — not incremental")
+    Candidates.releaseAll(blocking = true)
+  }
+
   test("appending a batch's signatures makes the NEXT increment dedup " +
       "against corpus ∪ batch without re-signing the corpus") {
     // corpus: 5 disjoint docs; batch1: near-dup of doc 1; batch2:

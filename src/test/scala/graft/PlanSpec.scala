@@ -133,6 +133,7 @@ class PlanSpec extends SparkSpec {
         "knnIvf" -> shuffledArrays(Similarity.knnIvf(spark, dir)),
         "minhashCandidates" -> shuffledArrays(Dedup.minhashCandidates(spark, dir)),
         "incrDedup" -> shuffledArrays(Dedup.incrDedup(spark, dir)),
+        "incrCosineDups" -> shuffledArrays(Similarity.incrCosineDups(spark, dir)),
         "simhashPairs" -> shuffledArrays(Dedup.simhashPairs(spark, dir))))
       assert(cols.isEmpty, s"$name shuffles array columns: $cols")
     // the keep-sweep's only shuffle is the digest-keyed dedup agg —
