@@ -736,3 +736,65 @@ object PrepScale {
     spark.stop()
   }
 }
+
+/** Scratch (VERDICT r4 next #5, second lever): would truncating the
+  * banding keys to int32 "halve the shuffle bytes"? Tungsten UnsafeRow
+  * gives every fixed-width field an 8-byte SLOT, so an int column does
+  * not shrink the row (2 fields = 8 B null bitset + 2×8 B = 24 B either
+  * way) — but shuffle files are compressed, and a truncated int leaves
+  * 4 zero bytes per slot that the codec can squeeze. This measures the
+  * ACTUAL shuffle bytes written by the banding candidate join under
+  * (long,long) / (long,int) / (int,int) key rows, plus the pair count
+  * (int32 band keys add ~|keys|²/2³³ false candidates that the exact
+  * verify must then discard — the correctness cost of the byte saving).
+  */
+object ProbeR5 {
+  def main(args: Array[String]): Unit = {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+    import org.apache.spark.sql.DataFrame
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val replicas =
+      sys.env.getOrElse("SPARK_GRAFT_MINHASH_REPLICAS", "400").toInt
+    val path = BenchData.ensureTextCorpus(spark, sfDir, replicas)
+    val corpus = spark.read.parquet(path)
+    val bytes = new java.util.concurrent.atomic.AtomicLong
+    val records = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) {
+          bytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          records.addAndGet(m.shuffleWriteMetrics.recordsWritten)
+        }
+      }
+    })
+    def run(name: String, keys: DataFrame): Unit = {
+      val t0 = System.nanoTime
+      val n = keys.as("a").join(keys.as("b").hint("shuffle_hash"),
+          col("a.bh") === col("b.bh") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .count()
+      val sec = (System.nanoTime - t0) / 1e9
+      Thread.sleep(3000) // listener bus drains async
+      println(f"[probeR5] $name: pairs=$n " +
+        f"shuffleMB=${bytes.getAndSet(0) / 1e6}%.1f " +
+        f"records=${records.getAndSet(0)} sec=$sec%.1f")
+    }
+    // 31-bit masks, not plain casts: the replicated doc_ids exceed int
+    // range and ANSI mode raises on a narrowing cast overflow
+    def i31(c: org.apache.spark.sql.Column) =
+      c.bitwiseAND(lit(0x7fffffffL)).cast("int")
+    val base = graft.operators.Dedup.bandKeysOf(corpus)
+    run("bh:long doc:long (production)", base)
+    run("bh:long doc:int",
+      base.select(i31(col("doc_id")).as("doc_id"), col("bh")))
+    run("bh:int doc:int (truncated)",
+      base.select(i31(col("doc_id")).as("doc_id"),
+        i31(col("bh")).as("bh")))
+    spark.stop()
+  }
+}
