@@ -212,14 +212,22 @@ object StreamOps {
     * `threshold`, append mode.
     */
   def streamingNearDup(docStream: DataFrame, corpusStore: DataFrame,
-      threshold: Double = 0.6): DataFrame = {
+      threshold: Double = 0.6): DataFrame =
+    verifyPairs(streamingBandCandidates(bandEvents(docStream)).toDF()
+      .select(col("id_a"), col("id_b")), corpusStore, threshold)
+
+  /** Exact-Jaccard verification of a candidate-pair stream via two
+    * stream-static joins against the corpus store (the table ingested
+    * docs land in before dedup decisions; production points this at a
+    * bucketed-by-id sink, co-locating both lookups). Raw TEXT joins
+    * first and the shingle kernels run on the joined rows after — the
+    * per-batch static-side work is a column-pruned (doc_id, text)
+    * scan; shingling the store before the join would re-shingle the
+    * corpus every micro-batch.
+    */
+  private def verifyPairs(cand: DataFrame, corpusStore: DataFrame,
+      threshold: Double): DataFrame = {
     import graft.operators.Dedup
-    val cand = streamingBandCandidates(bandEvents(docStream)).toDF()
-    // join raw TEXT first, shingle the joined rows after: the per-batch
-    // static-side work is then a column-pruned (doc_id, text) scan, and
-    // the shingle kernels run only on candidate rows — shingling the
-    // whole store before the join would re-shingle the corpus every
-    // micro-batch
     val txt = corpusStore.select(col("doc_id"), col("text"))
     cand
       .join(txt.select(col("doc_id").as("id_a"), col("text").as("t_a")),
@@ -234,5 +242,35 @@ object StreamOps {
           size(array_union(col("sh_a"), col("sh_b"))), 4))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Streaming incremental near-dup dedup against a PERSISTED corpus
+    * index — the streaming twin of
+    * [[graft.operators.Dedup.incrementalDedup]], complementing
+    * [[streamingNearDup]] (which dedups the stream against itself):
+    * each arriving doc's band keys meet the STORED
+    * [[graft.operators.Dedup.writeSignatureTable]] table in a
+    * stream-static join, so the candidate stage carries NO stream
+    * state at all — corpus history lives in the index (production
+    * buckets it by `bh`: a co-located lookup), and
+    * [[graft.operators.Dedup.appendSignatures]] folds each ingested
+    * batch in for the next. Multi-band matches of the same pair are
+    * collapsed by `dropDuplicatesWithinWatermark` (state = pair ids
+    * within the watermark — without it an exact duplicate would verify
+    * once per shared band, 32×) before the candidate-bounded exact-
+    * Jaccard verify. Emits `(id_a, id_b, jaccard)`, `id_a` from the
+    * indexed corpus, `id_b` from the stream, append mode.
+    */
+  def streamingIndexDedup(docStream: DataFrame, corpusStore: DataFrame,
+      sigTable: DataFrame, threshold: Double = 0.6): DataFrame = {
+    val cand = bandEvents(docStream).toDF()
+      .join(sigTable.select(col("doc_id").as("id_a"), col("bh")),
+        Seq("bh"))
+      .filter(col("id_a") =!= col("doc_id"))
+      .select(col("id_a"), col("doc_id").as("id_b"), col("event_time"))
+      .withWatermark("event_time", "10 minutes")
+      .dropDuplicatesWithinWatermark("id_a", "id_b")
+      .select(col("id_a"), col("id_b"))
+    verifyPairs(cand, corpusStore, threshold)
   }
 }

@@ -189,6 +189,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming index dedup: a doc stream dedups against the " +
+      "persisted corpus index with no stream state in the candidate " +
+      "stage, multi-band matches collapse to one verified pair") {
+    implicit val ctx = spark.sqlContext
+    def words(p: String) = (1 to 30).map(i => s"$p$i").mkString(" ")
+    val corpus = (1L to 5L).map(i => (i, words(s"c${i}w")))
+      .toDF("doc_id", "text")
+    val batch = Map(101L -> (words("c1w") + " zzz zzz"),
+      102L -> (words("c2w") + " yyy yyy"), 109L -> words("x"))
+    val path = Dedup.sigTablePath("stream-index-spec") + "-sidx"
+    Dedup.writeSignatureTable(corpus, path)
+    val store = corpus.unionAll(
+      batch.toSeq.map { case (id, t) => (id, t) }.toDF("doc_id", "text"))
+    val input = MemoryStream[TextDoc]
+    val out = StreamOps.streamingIndexDedup(input.toDF(), store,
+      spark.read.parquet(path))
+    val q = out.writeStream.format("memory").queryName("sidx")
+      .outputMode("append").start()
+    try {
+      input.addData(TextDoc(101L, batch(101L), ts(0)),
+        TextDoc(109L, batch(109L), ts(0)))
+      q.processAllAvailable()
+      input.addData(TextDoc(102L, batch(102L), ts(1)))
+      q.processAllAvailable()
+      val rows = spark.table("sidx")
+        .as[(Long, Long, Double)].collect()
+      // near-identical pairs verify at J = 28/30; 109 matches nothing;
+      // each pair appears exactly ONCE despite sharing ~30 bands
+      assert(rows.map(r => (r._1, r._2)).sorted.toSeq ===
+        Seq((1L, 101L), (2L, 102L)), rows.toSeq)
+      rows.foreach(r => assert(r._3 === math.rint(28d / 30 * 10000) / 10000))
+    } finally q.stop()
+  }
+
   test("running per-partition state via mapGroupsWithState") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[PartEvent]
