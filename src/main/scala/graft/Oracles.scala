@@ -1136,6 +1136,39 @@ object Oracles {
       |     OR (doc_id%61=0 AND doc_id%43<>0 AND doc_id%47<>0)
       |) ORDER BY doc_id, pointer, keyword""".stripMargin
 
+  /** Mirrors [[graft.operators.Mix.sampleMix]]: the same md5-derived
+    * per-mille bucket (low 60 bits of md5("mix:"||doc_id)) and the same
+    * per-language keep thresholds — the point of an md5 bucket is that
+    * ANY engine can recompute the keep decision, and this oracle is
+    * that claim exercised.
+    */
+  val sampleMix: String =
+    """SELECT doc_id, lang, source, n_chars, mix_bucket
+      |FROM (
+      |  SELECT *, CAST(
+      |      CAST(('0x'||substr(md5('mix:'||CAST(doc_id AS VARCHAR)),1,15))
+      |        AS UBIGINT) % 1000 AS BIGINT) AS mix_bucket
+      |  FROM documents)
+      |WHERE mix_bucket < CASE lang
+      |  WHEN 'en' THEN 1000 WHEN 'zh' THEN 600 WHEN 'es' THEN 500
+      |  WHEN 'de' THEN 400 WHEN 'fr' THEN 250 ELSE 100 END
+      |ORDER BY doc_id""".stripMargin
+
+  /** Mirrors [[graft.operators.Mix.packShards]] with the sequential
+    * prefix-sum form the distributed two-level version must equal:
+    * shard_id = floor(exclusive running token total / budget).
+    */
+  val packShards: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    CAST(len(string_split(text,' ')) AS BIGINT) AS toks
+      |  FROM documents)
+      |SELECT doc_id, toks,
+      |  CAST(FLOOR(COALESCE(SUM(toks) OVER (ORDER BY doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |    / 512.0) AS BIGINT) AS shard_id
+      |FROM t ORDER BY doc_id""".stripMargin
+
   val q1Agg: String =
     """SELECT l_returnflag, l_linestatus,
       |  ROUND(SUM(l_quantity), 4) AS sum_qty,

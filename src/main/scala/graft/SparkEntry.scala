@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.data.Interleaved
-import graft.operators.{Dedup, MultiDoc, Multimodal, Relational, Similarity, TextOps}
+import graft.operators.{Dedup, Mix, MultiDoc, Multimodal, Relational, Similarity, TextOps}
 import graft.checks.{Drift, Referential, SpanInvariant, Stats, Uniqueness, Verdicts}
 import graft.rules.{Catalog, RuleCompiler}
 
@@ -75,6 +75,8 @@ object SparkEntry {
     "d_decontam" -> ((s, dir) => Dedup.decontam(s, dir)),
     "d_incr_dedup" -> (Dedup.incrDedup _),
     "d_keep_quality" -> (graft.operators.Clusters.keepQuality _),
+    "d_sample_mix" -> (Mix.sampleMix _),
+    "d_pack_shards" -> ((s, dir) => Mix.packShards(s, dir)),
     "e_knn_brute" -> ((s, dir) => Similarity.knnBrute(s, dir)),
     // gated on the LSH scale path; the oracle is the independent exact
     // all-pairs SQL (same pattern as d_minhash_pairs vs d_jaccard_pairs)
@@ -263,6 +265,8 @@ object SparkEntry {
     "d_decontam" -> Oracles.decontam,
     "d_incr_dedup" -> Oracles.incrDedup,
     "d_keep_quality" -> Oracles.keepQuality,
+    "d_sample_mix" -> Oracles.sampleMix,
+    "d_pack_shards" -> Oracles.packShards,
     "e_knn_brute" -> Oracles.knnBrute,
     "e_cosine_dups" -> Oracles.cosineDups,
     "e_incr_dups" -> Oracles.cosineIncr,

@@ -309,6 +309,22 @@ object Dedup {
   def appendSignatures(batch: DataFrame, path: String): Unit =
     bandKeysOf(batch).write.mode("append").parquet(path)
 
+  /** The PRODUCTION layout of the persisted index: the band-key table
+    * saved bucketed+sorted by `bh`, so every future increment join
+    * reads the (corpus-sized) index co-located on its join key — no
+    * index-side shuffle ever, at any corpus size; only the bounded
+    * batch moves. `buckets` is the fixed fan-in chosen once at index
+    * creation (production: O(cluster cores); appends via
+    * `insertInto(table)` preserve the bucketing).
+    */
+  def writeSignatureIndex(s: SparkSession, corpusDf: DataFrame,
+      table: String, path: String, buckets: Int = 32): Unit = {
+    s.sql(s"DROP TABLE IF EXISTS $table")
+    bandKeysOf(corpusDf).write.mode("overwrite")
+      .bucketBy(buckets, "bh").sortBy("bh")
+      .option("path", path).saveAsTable(table)
+  }
+
   /** Incremental near-dup dedup of a NEW batch against an EXISTING
     * corpus via its persisted [[writeSignatureTable]] index — the
     * operator a real pipeline runs per crawl increment (VERDICT r4
@@ -332,8 +348,23 @@ object Dedup {
     */
   def incrementalDedup(s: SparkSession, batch: DataFrame,
       corpusText: DataFrame, sigPath: String, threshold: Double = 0.6)
+      : (DataFrame, org.apache.spark.sql.Observation) =
+    incrementalDedupFrom(s, batch, corpusText,
+      s.read.parquet(sigPath), threshold)
+
+  /** [[incrementalDedup]] with the stored index passed as a frame, so
+    * the caller chooses the index layout: the plain parquet read above,
+    * or the BUCKETED table from [[writeSignatureIndex]] — the
+    * production form, where the accumulated (100 TB-side) index is
+    * pre-partitioned on `bh` and the band-key join reads it in place,
+    * bucket by bucket, while only the bounded crawl increment shuffles
+    * (IncrementalSpec machine-checks that plan: zero exchanges above
+    * the bucketed scan).
+    */
+  def incrementalDedupFrom(s: SparkSession, batch: DataFrame,
+      corpusText: DataFrame, corpusBands: DataFrame,
+      threshold: Double = 0.6)
       : (DataFrame, org.apache.spark.sql.Observation) = {
-    val corpusBands = s.read.parquet(sigPath)
     val (bb, nBb) = Candidates.materialize(
       bandKeysOf(batch).select(col("doc_id").as("new_id"), col("bh")))
     // batch side broadcasts under the gate (an increment is bounded by

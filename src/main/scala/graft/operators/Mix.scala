@@ -1,0 +1,130 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Training-mix assembly operators: deterministic per-stratum
+  * downsampling (data mixing) and token-budget shard packing — the two
+  * steps between "deduped, quality-filtered corpus" and "training
+  * shards" in an LLM data pipeline.
+  *
+  * Both are built for the 100 TB shape of the problem:
+  *
+  *  - [[sampleMix]] is a pure scan + filter (no shuffle, no RNG): the
+  *    keep decision is a function of the row alone, so retried tasks,
+  *    re-partitioned inputs and incremental re-runs all make the SAME
+  *    decision. Spark's `sample()` draws from a per-partition-index
+  *    seeded RNG — its output CHANGES when the file layout changes,
+  *    which is unacceptable for a reproducible training set.
+  *  - [[packShards]] needs a global running token total — the textbook
+  *    sequential loop — expressed as a two-level distributed prefix
+  *    sum: per-bucket subtotals (one narrow agg), an offsets frame of
+  *    ~corpus/bucketSize rows (metadata-scale: 100 TB / 64k-doc buckets
+  *    is ~1.5M offset rows), and a bucket-partitioned window to finish
+  *    locally. The only single-point step is the tiny offsets cumsum;
+  *    document rows never pass through a global-order window (a naive
+  *    `Window.orderBy(doc_id)` without partitioning pulls the entire
+  *    corpus through ONE task).
+  */
+object Mix {
+
+  /** Per-language keep rates in per-mille for the sampling mix —
+    * deterministic stand-ins for a real mixing spec (e.g. upweight
+    * code/books, downweight crawl). Langs absent from the map keep
+    * [[DefaultMille]].
+    */
+  val Weights: Seq[(String, Int)] = Seq(
+    "en" -> 1000, "zh" -> 600, "es" -> 500, "de" -> 400, "fr" -> 250)
+  val DefaultMille = 100
+
+  /** Tokens-per-shard budget for [[packShards]]: small at fixture scale
+    * so tests exercise many boundaries; production sets millions.
+    */
+  val ShardBudget = 512L
+
+  /** Order-key bucket width for the distributed prefix sum. 64 at
+    * fixture scale (≥8 buckets at sf0.01) so the two-level structure is
+    * actually exercised; production uses ~64k so the offsets frame
+    * stays metadata-sized.
+    */
+  val PackBucket = 64L
+
+  /** Deterministic [0,1000) bucket for a doc: the low 60 bits of
+    * md5("mix:" ++ doc_id) mod 1000. md5 (not xxhash64) because the
+    * sampling decision must be reproducible OUTSIDE Spark too — the
+    * DuckDB oracle computes the identical bucket, and so can any
+    * downstream auditor of the published training set.
+    */
+  def mixBucket(docId: Column): Column =
+    conv(substring(md5(concat(lit("mix:"), docId.cast("string"))), 1, 15),
+      16, 10).cast("long") % 1000
+
+  /** Per-mille keep threshold for a language. */
+  def keepMille(lang: Column): Column =
+    Weights.foldRight(lit(DefaultMille): Column) { case ((l, m), els) =>
+      when(lang === lit(l), lit(m)).otherwise(els)
+    }
+
+  /** Weighted per-language downsampling of `documents`: keep a doc iff
+    * its deterministic hash bucket falls under the language's per-mille
+    * rate. Scan-speed, shuffle-free, idempotent — rerunning over a
+    * grown corpus keeps every previously-kept doc (the keep decision
+    * never depends on the rest of the data).
+    */
+  def sampleMix(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    docs.select(col("doc_id"), col("lang"), col("source"),
+        col("n_chars"), mixBucket(col("doc_id")).as("mix_bucket"))
+      .where(col("mix_bucket") < keepMille(col("lang")))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Pack docs (in doc_id order) into fixed token-budget shards:
+    * shard_id = floor(exclusive-prefix-sum(tokens) / budget) — the
+    * streaming-packer rule, so a shard holds at most budget + one doc's
+    * tokens and every shard except possibly the last is full.
+    *
+    * The prefix sum is two-level: (1) per-bucket token subtotals
+    * (bucket = doc_id / [[PackBucket]], one partial-aggregated groupBy);
+    * (2) exclusive cumsum over the BUCKET subtotals — the offsets frame
+    * has corpus/bucketSize rows, so its global-order window is
+    * metadata-scale work; (3) broadcast the offsets back and finish
+    * with a window PARTITIONED by bucket (parallel, each partition
+    * ≤ bucketSize rows). Doc rows are never globally sorted and never
+    * pass through a single-task window.
+    */
+  def packShards(s: SparkSession, dir: String,
+      budget: Long = ShardBudget, bucketSize: Long = PackBucket)
+      : DataFrame = {
+    val docs = Tables.documents(s, dir)
+    // stage the token count once (HOF/split args get no CSE)
+    val toks = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("toks"),
+      (col("doc_id") / lit(bucketSize)).cast("long").as("bucket"))
+
+    val perBucket = toks.groupBy(col("bucket"))
+      .agg(sum(col("toks")).as("bucket_toks"))
+    // global-order window over BUCKET subtotals only: ~N/bucketSize
+    // rows — this is the one deliberately-serial step, sized to stay
+    // metadata-scale at any corpus size
+    val offsets = perBucket.select(col("bucket"),
+      (coalesce(sum(col("bucket_toks"))
+          .over(Window.orderBy(col("bucket"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .as("bucket_offset"))
+
+    val local = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    toks.join(broadcast(offsets), Seq("bucket"))
+      .select(col("doc_id"), col("toks"),
+        (col("bucket_offset") + sum(col("toks")).over(local) -
+          col("toks")).as("prefix_toks"))
+      .select(col("doc_id"), col("toks"),
+        floor(col("prefix_toks") / lit(budget.toDouble)).cast("long")
+          .as("shard_id"))
+      .orderBy(col("doc_id"))
+  }
+}

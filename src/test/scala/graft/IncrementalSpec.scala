@@ -34,6 +34,76 @@ class IncrementalSpec extends SparkSpec {
     Candidates.releaseAll(blocking = true)
   }
 
+  test("bucketed signature index: the stored side is never shuffled — " +
+      "only the increment moves") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val corpusText = Tables.documents(spark, dir01)
+      .select(col("doc_id"), col("text"))
+    val plainPath = Dedup.sigTablePath(dir01) + "-specb-plain"
+    Dedup.writeSignatureTable(corpusText, plainPath)
+    val idxPath = Dedup.sigTablePath(dir01) + "-specb-idx"
+    Dedup.writeSignatureIndex(spark, corpusText, "sig_idx_spec", idxPath)
+    val batch = Dedup.incrementBatch(spark, dir01)
+    // audit under the shuffle branch: gate off (no broadcast hints),
+    // planner broadcasts off (a broadcast of the batch side would make
+    // the co-location question moot), AQE off (stable plan walk)
+    Candidates.releaseAll(blocking = true)
+    sys.props("graft.candidates.gate") = "0"
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val (out, _) = Dedup.incrementalDedupFrom(spark, batch, corpusText,
+        spark.table("sig_idx_spec"))
+      val exec = out.queryExecution.executedPlan
+      // the index IS read as a bucketed scan, and the path from that
+      // scan UP to its band-key join crosses no exchange: the
+      // corpus-sized index rows are joined where they were read, at
+      // any corpus size (derived id-pair rows shuffling later is fine
+      // — those are candidate-bounded). Walk into cached plans: the
+      // index join sits under the staged candidate cache.
+      def kids(p: SparkPlan): Seq[SparkPlan] = p match {
+        case s: InMemoryTableScanExec => Seq(s.relation.cachedPlan)
+        case n => n.children
+      }
+      def isBucketScan(p: SparkPlan): Boolean = p match {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.bucketedScan
+        case _ => false
+      }
+      def pathToBucketScan(p: SparkPlan): Option[List[SparkPlan]] =
+        if (isBucketScan(p)) Some(List(p))
+        else kids(p).flatMap(pathToBucketScan(_)).headOption
+          .map(p :: _)
+      val path = pathToBucketScan(exec)
+      assert(path.isDefined, s"no bucketed index scan in:\n$exec")
+      val belowJoin = path.get.reverse
+        .takeWhile(n => !n.nodeName.toLowerCase.contains("join"))
+      assert(belowJoin.length < path.get.length,
+        s"bucketed scan never joined:\n$exec")
+      belowJoin.foreach { n =>
+        assert(!n.isInstanceOf[ShuffleExchangeExec],
+          "stored index shuffled before its join; path: " +
+            path.get.map(_.nodeName).mkString(" -> "))
+      }
+      // same answer as the plain-parquet fallback path
+      val got = out.as[(Long, Long, Double)].collect().toSet
+      Candidates.releaseAll(blocking = true)
+      val (plain, _) = Dedup.incrementalDedup(spark, batch, corpusText,
+        plainPath)
+      assert(got === plain.as[(Long, Long, Double)].collect().toSet)
+      assert(got.nonEmpty)
+    } finally {
+      sys.props.remove("graft.candidates.gate")
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      spark.sql("DROP TABLE IF EXISTS sig_idx_spec")
+      Candidates.releaseAll(blocking = true)
+    }
+  }
+
   test("the increment path re-shingles only matched candidates, never " +
       "the full corpus") {
     val corpusText = Tables.documents(spark, dir01)

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.operators.{Dedup, Mix, Multimodal, Similarity}
 
 /** Pipeline ops without a SQL oracle: verified against their exact
   * baselines (MinHash vs exact Jaccard, LSH-ANN vs brute force) and
@@ -308,5 +308,58 @@ class PipelineSpec extends SparkSpec {
     }
     // and the vast majority of the corpus is clean
     assert(flagged.size < 30, s"${flagged.size} flagged")
+  }
+
+  test("sampleMix: deterministic, full-keep stratum intact, rates near " +
+      "target") {
+    val dir01 = "/root/testdata/sf0.01"
+    val a = Mix.sampleMix(spark, dir01)
+      .select("doc_id", "lang").as[(Long, String)].collect()
+    val b = Mix.sampleMix(spark, dir01)
+      .select("doc_id", "lang").as[(Long, String)].collect()
+    assert(a.toSeq == b.toSeq) // hash-derived: idempotent across runs
+    val total = Tables.documents(spark, dir01)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    val kept = a.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    // weight-1000 stratum must be kept in full
+    assert(kept("en") == total("en"))
+    // other strata within binomial noise of their per-mille targets
+    // (n≈70 per lang at sf0.01 → sd ≈ 0.06 of the fraction)
+    Mix.Weights.filter(_._2 < 1000).foreach { case (lang, mille) =>
+      val frac = kept.getOrElse(lang, 0L).toDouble / total(lang)
+      assert(math.abs(frac - mille / 1000.0) < 0.18,
+        s"$lang kept $frac vs ${mille / 1000.0}")
+    }
+  }
+
+  test("packShards equals the sequential packer and is invariant to " +
+      "the bucket width") {
+    val dir01 = "/root/testdata/sf0.01"
+    val got = Mix.packShards(spark, dir01)
+      .select("doc_id", "toks", "shard_id")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    // gold: the sequential streaming packer the distributed prefix sum
+    // must reproduce exactly
+    var running = 0L
+    got.foreach { case (id, toks, shard) =>
+      assert(shard == running / Mix.ShardBudget, s"doc $id")
+      running += toks
+    }
+    // shard ids are dense from 0 and non-decreasing by construction;
+    // every shard but the last crosses the budget boundary
+    val sums = got.groupBy(_._3).view.mapValues(_.map(_._2).sum).toMap
+    val last = sums.keys.max
+    val maxDoc = got.map(_._2).max
+    sums.foreach { case (shard, s) =>
+      assert(s <= Mix.ShardBudget + maxDoc, s"shard $shard overfull: $s")
+      if (shard != last)
+        assert(s >= Mix.ShardBudget - maxDoc, s"shard $shard underfull: $s")
+    }
+    // the doc_id/bucketSize decomposition is pure mechanism: any bucket
+    // width yields the identical packing
+    val odd = Mix.packShards(spark, dir01, bucketSize = 7L)
+      .select("doc_id", "toks", "shard_id")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(odd.toSeq == got.toSeq)
   }
 }

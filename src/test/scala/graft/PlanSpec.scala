@@ -187,6 +187,42 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("packShards: the global-order window only ever sees bucket " +
+      "subtotals, never document rows") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val plan = graft.operators.Mix.packShards(spark, dir)
+      .queryExecution.optimizedPlan
+    val wins = plan.collect { case w: LWindow => w }
+    val (global, local) = wins.partition(_.partitionSpec.isEmpty)
+    // exactly one deliberately-serial window (the offsets cumsum) and
+    // one parallel bucket-partitioned window over the doc rows
+    assert(global.size == 1 && local.size == 1, wins.toString)
+    // every path from the serial window down to a scan passes through
+    // the bucket AGGREGATE: the serial step only ever sees
+    // corpus/bucketSize subtotal rows, never a document row
+    import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+    def aggGuarded(p: LogicalPlan): Boolean = p match {
+      case _: Aggregate => true
+      case l if l.children.isEmpty => false
+      case n => n.children.forall(aggGuarded)
+    }
+    assert(aggGuarded(global.head.child), global.head.toString)
+  }
+
+  test("sampleMix is a scan-speed filter: no shuffle, no join") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.SortExec
+    val exec = graft.operators.Mix.sampleMix(spark, dir)
+      .queryExecution.executedPlan
+    // the only exchange allowed is the final presentation orderBy's
+    // range partitioning; nothing upstream of it may shuffle
+    val shuffles = exec.collect { case e: ShuffleExchangeExec => e }
+    assert(shuffles.size <= 1, exec.toString)
+    assert(exec.collectFirst {
+      case j if j.nodeName.toLowerCase.contains("join") => j }.isEmpty,
+      exec.toString)
+  }
+
   test("partial aggregation happens map-side before the shuffle") {
     val p = physical(
       Tables.lineitem(spark, dir).groupBy(col("l_returnflag"))
