@@ -1169,6 +1169,36 @@ object Oracles {
       |    / 512.0) AS BIGINT) AS shard_id
       |FROM t ORDER BY doc_id""".stripMargin
 
+  /** Mirrors [[graft.operators.Mix.trainOrder]] with the single-window
+    * sequential form the two-level distributed position assignment
+    * must equal exactly.
+    */
+  val trainOrder: String =
+    """WITH k AS (
+      |  SELECT doc_id, lang, CAST(
+      |    CAST(('0x'||substr(md5('ord:'||CAST(doc_id AS VARCHAR)),1,15))
+      |      AS UBIGINT) AS BIGINT) AS okey
+      |  FROM documents)
+      |SELECT doc_id, lang,
+      |  ROW_NUMBER() OVER (ORDER BY okey, doc_id) - 1 AS pos
+      |FROM k ORDER BY pos""".stripMargin
+
+  /** Mirrors [[graft.operators.Mix.stratifiedSample]] with the
+    * one-window-per-stratum textbook form.
+    */
+  val stratifiedSample: String =
+    """WITH k AS (
+      |  SELECT doc_id, lang, source, CAST(
+      |    CAST(('0x'||substr(md5('strat:'||CAST(doc_id AS VARCHAR)),1,15))
+      |      AS UBIGINT) AS BIGINT) AS skey
+      |  FROM documents)
+      |SELECT doc_id, lang, source, stratum_rank FROM (
+      |  SELECT doc_id, lang, source, ROW_NUMBER() OVER (
+      |      PARTITION BY lang ORDER BY skey, doc_id) AS stratum_rank
+      |  FROM k)
+      |WHERE stratum_rank <= 40
+      |ORDER BY lang, stratum_rank""".stripMargin
+
   val q1Agg: String =
     """SELECT l_returnflag, l_linestatus,
       |  ROUND(SUM(l_quantity), 4) AS sum_qty,

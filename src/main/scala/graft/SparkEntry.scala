@@ -77,6 +77,8 @@ object SparkEntry {
     "d_keep_quality" -> (graft.operators.Clusters.keepQuality _),
     "d_sample_mix" -> (Mix.sampleMix _),
     "d_pack_shards" -> ((s, dir) => Mix.packShards(s, dir)),
+    "d_train_order" -> (Mix.trainOrder _),
+    "d_strat_sample" -> ((s, dir) => Mix.stratifiedSample(s, dir)),
     "e_knn_brute" -> ((s, dir) => Similarity.knnBrute(s, dir)),
     // gated on the LSH scale path; the oracle is the independent exact
     // all-pairs SQL (same pattern as d_minhash_pairs vs d_jaccard_pairs)
@@ -267,6 +269,8 @@ object SparkEntry {
     "d_keep_quality" -> Oracles.keepQuality,
     "d_sample_mix" -> Oracles.sampleMix,
     "d_pack_shards" -> Oracles.packShards,
+    "d_train_order" -> Oracles.trainOrder,
+    "d_strat_sample" -> Oracles.stratifiedSample,
     "e_knn_brute" -> Oracles.knnBrute,
     "e_cosine_dups" -> Oracles.cosineDups,
     "e_incr_dups" -> Oracles.cosineIncr,

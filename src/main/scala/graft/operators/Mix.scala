@@ -62,6 +62,16 @@ object Mix {
     conv(substring(md5(concat(lit("mix:"), docId.cast("string"))), 1, 15),
       16, 10).cast("long") % 1000
 
+  /** Deterministic 60-bit order key — the "global shuffle" a training
+    * run needs, made reproducible: position follows from the doc alone
+    * (same md5 rationale as [[mixBucket]]), so two runs, two engines,
+    * or a resumed job all read the corpus in the SAME pseudo-random
+    * order.
+    */
+  def orderKey(tag: String, docId: Column): Column =
+    conv(substring(md5(concat(lit(tag), docId.cast("string"))), 1, 15),
+      16, 10).cast("long")
+
   /** Per-mille keep threshold for a language. */
   def keepMille(lang: Column): Column =
     Weights.foldRight(lit(DefaultMille): Column) { case ((l, m), els) =>
@@ -126,5 +136,90 @@ object Mix {
         floor(col("prefix_toks") / lit(budget.toDouble)).cast("long")
           .as("shard_id"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Order-key buckets for the two-level position assignment. The key
+    * is uniform on [0, 2^60), so dividing by a fixed width yields
+    * near-equal buckets with NO data statistics — unlike
+    * `repartitionByRange`, which samples the data to find split points
+    * (a job in itself at 100 TB) and whose splits move when the corpus
+    * grows.
+    */
+  val OrderBuckets = 64L
+  private val OrderWidth = (1L << 60) / OrderBuckets
+
+  /** Assign every doc its global position in the deterministic
+    * training order — distributed ROW_NUMBER() OVER (ORDER BY okey).
+    *
+    * The naive form is a single-task global-order window over all doc
+    * rows. This is the same two-level shape as [[packShards]]: bucket
+    * counts (one narrow agg), an exclusive cumsum over the ~[[OrderBuckets]]
+    * bucket subtotals (metadata-scale), then a bucket-PARTITIONED
+    * row_number finished in parallel — the hash key is uniform by
+    * construction, so the buckets are balanced without sampling the
+    * data. Doc rows shuffle ONCE (on `bucket`, for the local window).
+    */
+  def trainOrder(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val keyed = docs.select(col("doc_id"), col("lang"),
+      orderKey("ord:", col("doc_id")).as("okey"))
+      .withColumn("obucket", (col("okey") / lit(OrderWidth)).cast("long"))
+
+    val perBucket = keyed.groupBy(col("obucket")).agg(count(lit(1)).as("n"))
+    val offsets = perBucket.select(col("obucket"),
+      coalesce(sum(col("n")).over(Window.orderBy(col("obucket"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+        .as("bucket_start"))
+
+    val local = Window.partitionBy(col("obucket"))
+      .orderBy(col("okey"), col("doc_id"))
+    keyed.join(broadcast(offsets), Seq("obucket"))
+      .select(col("doc_id"), col("lang"),
+        (col("bucket_start") + row_number().over(local) - 1).as("pos"))
+      .orderBy(col("pos"))
+  }
+
+  /** Docs to keep per stratum in [[stratifiedSample]] — exact-count
+    * sampling (e.g. "exactly 40k held-out docs per language"), where
+    * [[sampleMix]]'s rate-based keep only hits the target in
+    * expectation.
+    */
+  val StratumN = 40
+
+  /** Exactly-N-per-stratum deterministic sample. The textbook form —
+    * ROW_NUMBER() OVER (PARTITION BY lang ORDER BY hash) <= N — drags
+    * an ENTIRE stratum through one task (a stratum can be 30% of a
+    * 100 TB corpus). Here the window partitions by (lang, key-bucket),
+    * so no task ever sees more than ~stratum/[[OrderBuckets]] rows:
+    * a per-(lang,bucket) row_number plus the count of the stratum's
+    * earlier buckets (metadata-scale cumsum, broadcast back) is the
+    * same global per-stratum rank, computed with bounded partitions.
+    */
+  def stratifiedSample(s: SparkSession, dir: String,
+      n: Int = StratumN): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val keyed = docs.select(col("doc_id"), col("lang"), col("source"),
+      orderKey("strat:", col("doc_id")).as("skey"))
+      .withColumn("sbucket", (col("skey") / lit(OrderWidth)).cast("long"))
+
+    val perCell = keyed.groupBy(col("lang"), col("sbucket"))
+      .agg(count(lit(1)).as("n"))
+    // per-stratum exclusive cumsum across its buckets: one row per
+    // (lang, bucket) cell — metadata-scale at any corpus size
+    val starts = perCell.select(col("lang"), col("sbucket"),
+      coalesce(sum(col("n")).over(Window.partitionBy(col("lang"))
+          .orderBy(col("sbucket"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+        .as("cell_start"))
+
+    val cell = Window.partitionBy(col("lang"), col("sbucket"))
+      .orderBy(col("skey"), col("doc_id"))
+    keyed.join(broadcast(starts), Seq("lang", "sbucket"))
+      .withColumn("stratum_rank",
+        col("cell_start") + row_number().over(cell))
+      .where(col("stratum_rank") <= lit(n))
+      .select(col("doc_id"), col("lang"), col("source"),
+        col("stratum_rank"))
+      .orderBy(col("lang"), col("stratum_rank"))
   }
 }

@@ -332,6 +332,47 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("trainOrder: a dense permutation, equal to the sequential " +
+      "global-sort rank") {
+    val dir01 = "/root/testdata/sf0.01"
+    val got = Mix.trainOrder(spark, dir01)
+      .select("doc_id", "pos").as[(Long, Long)].collect()
+    val n = Tables.documents(spark, dir01).count()
+    // positions are exactly 0..n-1, each once
+    assert(got.map(_._2).sorted.toSeq == (0L until n).toSeq)
+    // and equal the single-window sequential form
+    val gold = Tables.documents(spark, dir01)
+      .select(col("doc_id"),
+        Mix.orderKey("ord:", col("doc_id")).as("okey"))
+      .orderBy(col("okey"), col("doc_id"))
+      .select("doc_id").as[Long].collect()
+      .zipWithIndex.map { case (id, i) => (id, i.toLong) }
+    assert(got.sortBy(_._2).toSeq == gold.toSeq)
+  }
+
+  test("stratifiedSample: exactly min(N, stratum) per stratum, " +
+      "deterministic, ranks dense") {
+    val dir01 = "/root/testdata/sf0.01"
+    val got = Mix.stratifiedSample(spark, dir01)
+      .select("doc_id", "lang", "stratum_rank")
+      .as[(Long, String, Long)].collect()
+    val total = Tables.documents(spark, dir01)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    val byLang = got.groupBy(_._2)
+    assert(byLang.keySet == total.keySet.filter(l => total(l) > 0))
+    byLang.foreach { case (lang, rows) =>
+      assert(rows.length == math.min(Mix.StratumN.toLong, total(lang)),
+        s"$lang: ${rows.length}")
+      assert(rows.map(_._3).sorted.toSeq ==
+        (1L to rows.length.toLong).toSeq, s"$lang ranks not dense")
+    }
+    val again = Mix.stratifiedSample(spark, dir01)
+      .select("doc_id", "lang", "stratum_rank")
+      .as[(Long, String, Long)].collect()
+    assert(got.sortBy(r => (r._2, r._3)).toSeq ==
+      again.sortBy(r => (r._2, r._3)).toSeq)
+  }
+
   test("packShards equals the sequential packer and is invariant to " +
       "the bucket width") {
     val dir01 = "/root/testdata/sf0.01"

@@ -209,6 +209,36 @@ class PlanSpec extends SparkSpec {
     assert(aggGuarded(global.head.child), global.head.toString)
   }
 
+  test("trainOrder: the serial window sees bucket counts only; " +
+      "stratifiedSample has NO global-order window at all") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Window => LWindow}
+    def aggGuarded(p: LogicalPlan): Boolean = p match {
+      case _: Aggregate => true
+      case l if l.children.isEmpty => false
+      case n => n.children.forall(aggGuarded)
+    }
+    val ord = graft.operators.Mix.trainOrder(spark, dir)
+      .queryExecution.optimizedPlan
+    val (oGlobal, oLocal) = ord.collect { case w: LWindow => w }
+      .partition(_.partitionSpec.isEmpty)
+    assert(oGlobal.size == 1 && oLocal.size == 1, ord.toString)
+    assert(aggGuarded(oGlobal.head.child), oGlobal.head.toString)
+    // every stratifiedSample window partitions — the whole point is
+    // that no single task ever holds a full stratum
+    val strat = graft.operators.Mix.stratifiedSample(spark, dir)
+      .queryExecution.optimizedPlan
+    val sWins = strat.collect { case w: LWindow => w }
+    assert(sWins.nonEmpty, strat.toString)
+    val (sGlobal, sPerStratum) = sWins.partition(_.partitionSpec.isEmpty)
+    assert(sGlobal.isEmpty, sWins.toString)
+    // and none of the doc-row windows partitions by the stratum ALONE
+    // (lang-only partitioning is the single-task-per-stratum trap);
+    // the metadata cumsum over (lang, bucket) cells is agg-guarded
+    sPerStratum.foreach { w =>
+      if (w.partitionSpec.size == 1) assert(aggGuarded(w.child), w.toString)
+    }
+  }
+
   test("sampleMix is a scan-speed filter: no shuffle, no join") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.execution.SortExec
