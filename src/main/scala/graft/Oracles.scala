@@ -1199,6 +1199,90 @@ object Oracles {
       |WHERE stratum_rank <= 40
       |ORDER BY lang, stratum_rank""".stripMargin
 
+  /** Mirrors [[graft.operators.Mix.repeatMix]]: the same per-source
+    * (base, per-mille) epoch factors and the same md5 per-mille bucket
+    * deciding the fractional copy.
+    */
+  val repeatMix: String =
+    """WITH f AS (
+      |  SELECT doc_id, source,
+      |    CASE source WHEN 'src0' THEN 2 WHEN 'src1' THEN 3
+      |      WHEN 'src5' THEN 1 WHEN 'src7' THEN 0 ELSE 1 END AS base,
+      |    CASE source WHEN 'src0' THEN 500 WHEN 'src1' THEN 0
+      |      WHEN 'src5' THEN 250 WHEN 'src7' THEN 300 ELSE 0 END
+      |      AS mille,
+      |    CAST(CAST(('0x'||substr(md5('rep:'||CAST(doc_id AS VARCHAR)),
+      |      1,15)) AS UBIGINT) % 1000 AS BIGINT) AS b
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, source,
+      |    base + CASE WHEN b < mille THEN 1 ELSE 0 END AS copies
+      |  FROM f)
+      |SELECT doc_id, source, CAST(u.copy AS INTEGER) AS copy
+      |FROM c, LATERAL unnest(generate_series(1, copies)) u(copy)
+      |WHERE copies > 0
+      |ORDER BY doc_id, copy""".stripMargin
+
+  /** Mirrors [[graft.operators.Mix.qualityGate]] with the
+    * single-window global-rank form: top 60% by (quality DESC,
+    * hash-order key, doc_id).
+    */
+  val qualityGate: String =
+    """WITH q AS (
+      |  SELECT doc_id,
+      |    ROUND(CAST(CASE WHEN n_tokens >= 10 THEN 0.4 ELSE 0.0 END +
+      |          CASE WHEN punct_ratio <= 0.1 THEN 0.3 ELSE 0.0 END +
+      |          CASE WHEN stop_ratio >= 0.05 THEN 0.3 ELSE 0.0 END
+      |          AS DOUBLE), 4) AS quality_score
+      |  FROM (
+      |    SELECT doc_id, len(w) AS n_tokens,
+      |      (length(text) - length(regexp_replace(text, '[^a-z ]', '',
+      |        'g'))) / CAST(length(text) AS DOUBLE) AS punct_ratio,
+      |      len(list_filter(w, t -> t IN ('der','die','und','das','the',
+      |        'a','and','of','el','la','los','de','le','les','et')))
+      |        / CAST(len(w) AS DOUBLE) AS stop_ratio
+      |    FROM (SELECT doc_id, text, string_split(text,' ') AS w
+      |          FROM documents))),
+      |k AS (
+      |  SELECT doc_id, quality_score, CAST(
+      |    CAST(('0x'||substr(md5('gate:'||CAST(doc_id AS VARCHAR)),1,15))
+      |      AS UBIGINT) AS BIGINT) AS okey
+      |  FROM q),
+      |r AS (
+      |  SELECT doc_id, quality_score,
+      |    ROW_NUMBER() OVER (ORDER BY quality_score DESC, okey, doc_id)
+      |      AS quality_rank,
+      |    COUNT(*) OVER () AS n
+      |  FROM k)
+      |SELECT doc_id, quality_score, quality_rank FROM r
+      |WHERE quality_rank <= CAST(FLOOR(0.6*n) AS BIGINT)
+      |ORDER BY quality_rank""".stripMargin
+
+  /** Mirrors [[graft.operators.TextOps.boilerStripOf]] over the
+    * duplicated corpus: same chunking, same df > 2 strip, same ordered
+    * clean digest.
+    */
+  val boilerStrip: String = corpusCte + ",\n" + chunksCte("corpus") +
+    """
+      |, dfq AS (
+      |  SELECT chunk_hash FROM chunkrows
+      |  GROUP BY 1 HAVING COUNT(DISTINCT doc_id) > 2),
+      |kept AS (
+      |  SELECT doc_id, chunk_idx, chunk_hash FROM chunkrows
+      |  WHERE chunk_hash NOT IN (SELECT chunk_hash FROM dfq)),
+      |tot AS (SELECT doc_id, COUNT(*) AS n_chunks FROM chunkrows
+      |        GROUP BY 1),
+      |ka AS (
+      |  SELECT doc_id, COUNT(*) AS kept_chunks,
+      |    md5(string_agg(chunk_hash, '' ORDER BY chunk_idx))
+      |      AS clean_digest
+      |  FROM kept GROUP BY doc_id)
+      |SELECT t.doc_id, CAST(t.n_chunks AS INTEGER) AS n_chunks,
+      |  CAST(COALESCE(ka.kept_chunks, 0) AS INTEGER) AS kept_chunks,
+      |  COALESCE(ka.clean_digest, md5('')) AS clean_digest
+      |FROM tot t LEFT JOIN ka USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   val q1Agg: String =
     """SELECT l_returnflag, l_linestatus,
       |  ROUND(SUM(l_quantity), 4) AS sum_qty,

@@ -79,6 +79,9 @@ object SparkEntry {
     "d_pack_shards" -> ((s, dir) => Mix.packShards(s, dir)),
     "d_train_order" -> (Mix.trainOrder _),
     "d_strat_sample" -> ((s, dir) => Mix.stratifiedSample(s, dir)),
+    "d_repeat_mix" -> (Mix.repeatMix _),
+    "d_quality_gate" -> ((s, dir) => Mix.qualityGate(s, dir)),
+    "d_boiler_strip" -> (TextOps.boilerStrip _),
     "e_knn_brute" -> ((s, dir) => Similarity.knnBrute(s, dir)),
     // gated on the LSH scale path; the oracle is the independent exact
     // all-pairs SQL (same pattern as d_minhash_pairs vs d_jaccard_pairs)
@@ -271,6 +274,9 @@ object SparkEntry {
     "d_pack_shards" -> Oracles.packShards,
     "d_train_order" -> Oracles.trainOrder,
     "d_strat_sample" -> Oracles.stratifiedSample,
+    "d_repeat_mix" -> Oracles.repeatMix,
+    "d_quality_gate" -> Oracles.qualityGate,
+    "d_boiler_strip" -> Oracles.boilerStrip,
     "e_knn_brute" -> Oracles.knnBrute,
     "e_cosine_dups" -> Oracles.cosineDups,
     "e_incr_dups" -> Oracles.cosineIncr,

@@ -179,6 +179,97 @@ object Mix {
       .orderBy(col("pos"))
   }
 
+  /** Per-source repeat factors for [[repeatMix]] as (whole copies,
+    * extra-copy per-mille): src0 ×2.5, src1 ×3, src5 ×1.25, src7 ×0.3
+    * (a pure downsample — base 0), everything else ×1. The fraction is
+    * an integer per-mille, not a double, so the fractional-copy
+    * decision is exact arithmetic in ANY engine — no float-threshold
+    * ambiguity between Spark and an auditor recomputing the mix.
+    */
+  val Epochs: Seq[(String, (Int, Int))] = Seq(
+    "src0" -> (2, 500), "src1" -> (3, 0), "src5" -> (1, 250),
+    "src7" -> (0, 300))
+  val DefaultEpoch: (Int, Int) = (1, 0)
+
+  /** Copies of a doc in the epoch-expanded mix: whole copies plus one
+    * fractional copy iff the doc's md5 per-mille bucket clears the
+    * source's fraction — the deterministic form of "repeat books 2.5
+    * epochs": exactly the expected 2.5× volume, and WHICH docs get the
+    * third copy is a pure function of the doc (reproducible across
+    * retries, engines, and incremental re-runs).
+    */
+  def epochCopies(source: Column, docId: Column): Column = {
+    val bucket = orderKey("rep:", docId) % 1000
+    val base = Epochs.foldRight(lit(DefaultEpoch._1): Column) {
+      case ((s, (b, _)), els) => when(source === s, b).otherwise(els)
+    }
+    val mille = Epochs.foldRight(lit(DefaultEpoch._2): Column) {
+      case ((s, (_, m)), els) => when(source === s, m).otherwise(els)
+    }
+    (base + when(bucket < mille, 1).otherwise(0)).cast("int")
+  }
+
+  /** Epoch repetition / source up-sampling: emit each doc `copies`
+    * times (copy = 1..copies), where copies follows the per-source
+    * repeat factor — how a pipeline up-weights high-quality sources
+    * (books ×3) and down-weights crawl without materializing N corpus
+    * copies by hand. Scan-speed compute-then-explode: no shuffle, no
+    * join, no RNG; the explode multiplies only (doc_id, source, copy)
+    * scalar rows, never text.
+    */
+  def repeatMix(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        epochCopies(col("source"), col("doc_id")).as("copies"))
+      .where(col("copies") > 0)
+      .select(col("doc_id"), col("source"),
+        explode(sequence(lit(1), col("copies"))).as("copy"))
+      .orderBy(col("doc_id"), col("copy"))
+
+  /** Fraction of the corpus [[qualityGate]] keeps. */
+  val GateFrac = 0.6
+
+  /** Exact corpus-percentile quality filter: keep the top `frac` of
+    * docs by (quality_score DESC, hash-order, doc_id) — "keep the best
+    * 60%", exactly, not in expectation. A rate threshold can't do this
+    * (score distribution is unknown) and `ORDER BY score LIMIT K` at
+    * K = 60% of a 100 TB corpus is not driver-safe.
+    *
+    * Same two-level shape as [[trainOrder]], with the cell key
+    * extended to (score, key-bucket): per-cell counts (one narrow
+    * agg), an exclusive cumsum over cells ordered (score DESC, bucket)
+    * — metadata-scale: distinct-rounded-scores × [[OrderBuckets]] rows
+    * — then a cell-partitioned row_number. Doc rows never pass a
+    * global-order window, and within a score level the hash order
+    * spreads ties across buckets, so a 30%-of-corpus score plateau
+    * cannot single-task (the [[stratifiedSample]] argument).
+    */
+  def qualityGate(s: SparkSession, dir: String,
+      frac: Double = GateFrac): DataFrame = {
+    val scored = TextOps.qualityScoresOf(Tables.documents(s, dir))
+    val keyed = scored.select(col("doc_id"), col("quality_score"),
+      orderKey("gate:", col("doc_id")).as("okey"))
+      .withColumn("qbucket", (col("okey") / lit(OrderWidth)).cast("long"))
+
+    val perCell = keyed.groupBy(col("quality_score"), col("qbucket"))
+      .agg(count(lit(1)).as("n"))
+    val cellW = Window.orderBy(col("quality_score").desc, col("qbucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val starts = perCell.select(col("quality_score"), col("qbucket"),
+      coalesce(sum(col("n")).over(cellW), lit(0L)).as("cell_start"))
+    val tot = perCell.agg(sum(col("n")).as("total"))
+
+    val local = Window.partitionBy(col("quality_score"), col("qbucket"))
+      .orderBy(col("okey"), col("doc_id"))
+    keyed.join(broadcast(starts), Seq("quality_score", "qbucket"))
+      .crossJoin(broadcast(tot))
+      .withColumn("quality_rank",
+        col("cell_start") + row_number().over(local))
+      .where(col("quality_rank") <= floor(col("total") * lit(frac)))
+      .select(col("doc_id"), col("quality_score"), col("quality_rank"))
+      .orderBy(col("quality_rank"))
+  }
+
   /** Docs to keep per stratum in [[stratifiedSample]] — exact-count
     * sampling (e.g. "exactly 40k held-out docs per language"), where
     * [[sampleMix]]'s rate-based keep only hits the target in

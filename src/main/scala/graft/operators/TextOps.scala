@@ -315,6 +315,55 @@ object TextOps {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Boilerplate document-frequency threshold for [[boilerStrip]]:
+    * a chunk digest held by more than this many DISTINCT docs is
+    * corpus furniture (headers, license text, nav bars), not document
+    * content. 2 at fixture scale so the injected duplicate families
+    * exercise the strip; production sets hundreds-to-thousands.
+    */
+  val BoilerDf = 2
+
+  def boilerStrip(s: SparkSession, dir: String): DataFrame =
+    boilerStripOf(Dedup.corpus(s, dir))
+
+  /** Boilerplate removal at chunk granularity over any `(doc_id,
+    * text)` frame: compute content-defined chunks, measure each chunk
+    * digest's document frequency, strip chunks with df > maxDf, and
+    * emit per doc the chunk counts plus a `clean_digest` — the md5 of
+    * the SURVIVING chunk digests in document order, i.e. the doc's
+    * content fingerprint with boilerplate removed (two docs that
+    * differ only in shared furniture now collide, feeding the exact
+    * dedup pass). At 100 TB: chunking is a scan-speed projection; only
+    * (doc_id, 16-byte digest) rows shuffle for the df agg and the
+    * anti-join — the hot set is data-dependent, so it stays a shuffled
+    * anti-join rather than a hinted broadcast; text never moves.
+    */
+  def boilerStripOf(docs: DataFrame, maxDf: Int = BoilerDf): DataFrame = {
+    val ch = contentChunksOf(docs)
+      .select(col("doc_id"), col("chunk_idx"), col("chunk_hash"))
+    val hot = ch.groupBy(col("chunk_hash"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") > maxDf)
+      .select(col("chunk_hash"))
+    val kept = ch.join(hot, Seq("chunk_hash"), "left_anti")
+    val tot = ch.groupBy(col("doc_id")).agg(count(lit(1)).as("n_chunks"))
+    // order-stable digest: collect_list is shuffle-order-dependent, so
+    // sort the (chunk_idx, chunk_hash) structs before concatenating
+    val keptAgg = kept.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("kept_chunks"),
+      md5(concat_ws("", transform(
+        array_sort(collect_list(struct(col("chunk_idx"),
+          col("chunk_hash")))),
+        c => c.getField("chunk_hash")))).as("clean_digest"))
+    tot.join(keptAgg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        col("n_chunks").cast("int").as("n_chunks"),
+        coalesce(col("kept_chunks"), lit(0L)).cast("int")
+          .as("kept_chunks"),
+        coalesce(col("clean_digest"), md5(lit(""))).as("clean_digest"))
+      .orderBy(col("doc_id"))
+  }
+
   /** The composed training-data keep-sweep — the shape a real corpus
     * pipeline runs end-to-end: per-doc signals in ONE projection
     * (language ID + quality composite over a staged words array), a

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Mix, Multimodal, Similarity}
+import graft.operators.{Dedup, Mix, Multimodal, Similarity, TextOps}
 
 /** Pipeline ops without a SQL oracle: verified against their exact
   * baselines (MinHash vs exact Jaccard, LSH-ANN vs brute force) and
@@ -371,6 +371,87 @@ class PipelineSpec extends SparkSpec {
       .as[(Long, String, Long)].collect()
     assert(got.sortBy(r => (r._2, r._3)).toSeq ==
       again.sortBy(r => (r._2, r._3)).toSeq)
+  }
+
+  test("repeatMix: contiguous copy ids per doc, per-source volumes " +
+      "inside the exact epoch bounds") {
+    val dir01 = "/root/testdata/sf0.01"
+    val got = Mix.repeatMix(spark, dir01)
+      .select("doc_id", "source", "copy").as[(Long, String, Int)]
+      .collect()
+    got.groupBy(_._1).values.foreach { rows =>
+      assert(rows.map(_._3).sorted.toSeq == (1 to rows.length).toSeq,
+        s"doc ${rows.head._1} copies not contiguous")
+    }
+    val perSource = Tables.documents(spark, dir01).groupBy("source")
+      .count().as[(String, Long)].collect().toMap
+    val spec = Mix.Epochs.toMap
+    perSource.foreach { case (src, n) =>
+      val (base, mille) = spec.getOrElse(src, Mix.DefaultEpoch)
+      val emitted = got.count(_._2 == src).toLong
+      assert(emitted >= base * n &&
+        emitted <= (base + (if (mille > 0) 1 else 0)) * n,
+        s"$src emitted $emitted for $n docs, spec ($base, $mille)")
+      if (mille == 0) assert(emitted == base * n, src)
+    }
+    // src7 is a pure fractional downsample: at most one copy per doc,
+    // strictly fewer docs than the source has
+    val s7 = got.filter(_._2 == "src7")
+    assert(s7.groupBy(_._1).values.forall(_.length == 1))
+    assert(s7.map(_._1).distinct.length < perSource("src7"))
+  }
+
+  test("qualityGate keeps exactly floor(frac*n), equal to the " +
+      "sequential rank; no kept score below a dropped one") {
+    val dir01 = "/root/testdata/sf0.01"
+    val got = Mix.qualityGate(spark, dir01)
+      .select("doc_id", "quality_score", "quality_rank")
+      .as[(Long, Double, Long)].collect()
+    val scored = TextOps.qualityScoresOf(
+      Tables.documents(spark, dir01))
+      .withColumn("okey", Mix.orderKey("gate:", col("doc_id")))
+      .select("doc_id", "quality_score", "okey")
+      .as[(Long, Double, Long)].collect()
+    val k = math.floor(scored.length * Mix.GateFrac).toLong
+    assert(got.length.toLong == k)
+    assert(got.map(_._3).sorted.toSeq == (1L to k).toSeq,
+      "ranks not dense")
+    val gold = scored.sortBy(r => (-r._2, r._3, r._1)).take(k.toInt)
+      .zipWithIndex.map { case (r, i) => (r._1, r._2, (i + 1).toLong) }
+    assert(got.sortBy(_._3).toSeq == gold.toSeq)
+    val keptIds = got.map(_._1).toSet
+    val dropped = scored.filterNot(r => keptIds(r._1))
+    assert(dropped.nonEmpty && got.map(_._2).min >= dropped.map(_._2).max)
+  }
+
+  test("boilerStrip: all-boilerplate docs empty out, unique docs keep " +
+      "everything, exact-dup family shares the clean digest") {
+    val boiler = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val uniq1 = (1 to 40).map(i => s"u${i}a").mkString(" ")
+    val uniq2 = (1 to 40).map(i => s"u${i}b").mkString(" ")
+    val synth = Seq((1L, boiler), (2L, boiler), (3L, boiler),
+      (4L, boiler), (5L, uniq1), (6L, uniq2))
+      .toDF("doc_id", "text")
+    val out = TextOps.boilerStripOf(synth)
+      .select("doc_id", "n_chunks", "kept_chunks", "clean_digest")
+      .as[(Long, Int, Int, String)].collect().sortBy(_._1)
+    val emptyMd5 = "d41d8cd98f00b204e9800998ecf8427e"
+    out.filter(_._1 <= 4).foreach { r =>
+      assert(r._2 > 0 && r._3 == 0 && r._4 == emptyMd5, r.toString)
+    }
+    out.filter(_._1 >= 5).foreach { r =>
+      assert(r._3 == r._2 && r._4 != emptyMd5, r.toString)
+    }
+    // on the duplicated corpus: an exact duplicate strips to the same
+    // clean digest as its original (boilerplate-invariant fingerprint)
+    val strip = TextOps.boilerStrip(spark, "/root/testdata/sf0.01")
+      .select("doc_id", "clean_digest").as[(Long, String)]
+      .collect().toMap
+    val originals = strip.keys.filter(d => d < 1000000L && d % 50 == 0)
+    assert(originals.nonEmpty)
+    originals.foreach { d =>
+      assert(strip(d) == strip(d + 1000000L), s"doc $d")
+    }
   }
 
   test("packShards equals the sequential packer and is invariant to " +

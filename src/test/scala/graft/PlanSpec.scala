@@ -239,6 +239,36 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("repeatMix is scan-speed: no shuffle upstream of the " +
+      "presentation sort, no join") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val exec = graft.operators.Mix.repeatMix(spark, dir)
+      .queryExecution.executedPlan
+    val shuffles = exec.collect { case e: ShuffleExchangeExec => e }
+    assert(shuffles.size <= 1, exec.toString)
+    assert(exec.collectFirst {
+      case j if j.nodeName.toLowerCase.contains("join") => j }.isEmpty,
+      exec.toString)
+  }
+
+  test("qualityGate: the serial window sees per-cell aggregates only; " +
+      "doc rows pass only a (score, bucket)-partitioned window") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Window => LWindow}
+    def aggGuarded(p: LogicalPlan): Boolean = p match {
+      case _: Aggregate => true
+      case l if l.children.isEmpty => false
+      case n => n.children.forall(aggGuarded)
+    }
+    val p = graft.operators.Mix.qualityGate(spark, dir)
+      .queryExecution.optimizedPlan
+    val (global, local) = p.collect { case w: LWindow => w }
+      .partition(_.partitionSpec.isEmpty)
+    assert(global.size == 1 && aggGuarded(global.head.child),
+      global.toString)
+    assert(local.nonEmpty && local.forall(_.partitionSpec.size == 2),
+      local.toString)
+  }
+
   test("sampleMix is a scan-speed filter: no shuffle, no join") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.execution.SortExec
