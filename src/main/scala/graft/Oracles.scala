@@ -1283,6 +1283,67 @@ object Oracles {
       |FROM tot t LEFT JOIN ka USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  /** Mirrors [[graft.operators.TextOps.repSignalsOf]]: duplicate
+    * n-gram fractions and top-word share per doc, same guards and
+    * thresholds.
+    */
+  val repSignals: String =
+    """WITH d AS (
+      |  SELECT doc_id, string_split(text,' ') AS w FROM documents),
+      |g AS (
+      |  SELECT doc_id, w,
+      |    CASE WHEN len(w) >= 2 THEN list_transform(
+      |      generate_series(1, len(w)-1), i -> w[i]||' '||w[i+1])
+      |      ELSE [] END AS g2,
+      |    CASE WHEN len(w) >= 3 THEN list_transform(
+      |      generate_series(1, len(w)-2),
+      |      i -> w[i]||' '||w[i+1]||' '||w[i+2])
+      |      ELSE [] END AS g3
+      |  FROM d),
+      |topw AS (
+      |  SELECT doc_id, MAX(c) AS topc FROM (
+      |    SELECT doc_id, word, COUNT(*) AS c FROM (
+      |      SELECT doc_id, unnest(w) AS word FROM d)
+      |    GROUP BY doc_id, word)
+      |  GROUP BY doc_id),
+      |sig AS (
+      |  SELECT g.doc_id,
+      |    CAST(len(w) AS INTEGER) AS n_tokens,
+      |    CASE WHEN len(g2) > 0 THEN ROUND((len(g2) -
+      |      len(list_distinct(g2))) / CAST(len(g2) AS DOUBLE), 4)
+      |      ELSE CAST(0.0 AS DOUBLE) END AS dup_bigram_frac,
+      |    CASE WHEN len(g3) > 0 THEN ROUND((len(g3) -
+      |      len(list_distinct(g3))) / CAST(len(g3) AS DOUBLE), 4)
+      |      ELSE CAST(0.0 AS DOUBLE) END AS dup_trigram_frac,
+      |    ROUND(topc / CAST(len(w) AS DOUBLE), 4) AS top_word_frac
+      |  FROM g JOIN topw ON g.doc_id = topw.doc_id)
+      |SELECT doc_id, n_tokens, dup_bigram_frac, dup_trigram_frac,
+      |  top_word_frac,
+      |  (dup_trigram_frac > 0.35 OR top_word_frac > 0.2) AS repetitive
+      |FROM sig ORDER BY doc_id""".stripMargin
+
+  /** Mirrors [[graft.operators.TextOps.redact]]: same deterministic
+    * PII injection, same regexes, same email-then-url replace order.
+    */
+  val redact: String =
+    """WITH pii AS (
+      |  SELECT doc_id, text ||
+      |    CASE WHEN doc_id % 7 = 3 THEN ' contact bob'||
+      |      CAST(doc_id AS VARCHAR)||'@example.com now' ELSE '' END ||
+      |    CASE WHEN doc_id % 11 = 5 THEN ' see https://x'||
+      |      CAST(doc_id AS VARCHAR)||'.example.org/page today'
+      |      ELSE '' END AS text
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(len(regexp_extract_all(text,
+      |    '[a-z0-9.]+@[a-z0-9.]+[a-z]')) AS INTEGER) AS n_emails,
+      |  CAST(len(regexp_extract_all(text, 'https?://[^ ]+'))
+      |    AS INTEGER) AS n_urls,
+      |  md5(regexp_replace(regexp_replace(text,
+      |    '[a-z0-9.]+@[a-z0-9.]+[a-z]', '<EMAIL>', 'g'),
+      |    'https?://[^ ]+', '<URL>', 'g')) AS clean_digest
+      |FROM pii ORDER BY doc_id""".stripMargin
+
   val q1Agg: String =
     """SELECT l_returnflag, l_linestatus,
       |  ROUND(SUM(l_quantity), 4) AS sum_qty,

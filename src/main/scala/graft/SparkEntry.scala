@@ -82,6 +82,8 @@ object SparkEntry {
     "d_repeat_mix" -> (Mix.repeatMix _),
     "d_quality_gate" -> ((s, dir) => Mix.qualityGate(s, dir)),
     "d_boiler_strip" -> (TextOps.boilerStrip _),
+    "d_rep_signals" -> (TextOps.repSignals _),
+    "d_redact" -> (TextOps.redact _),
     "e_knn_brute" -> ((s, dir) => Similarity.knnBrute(s, dir)),
     // gated on the LSH scale path; the oracle is the independent exact
     // all-pairs SQL (same pattern as d_minhash_pairs vs d_jaccard_pairs)
@@ -277,6 +279,8 @@ object SparkEntry {
     "d_repeat_mix" -> Oracles.repeatMix,
     "d_quality_gate" -> Oracles.qualityGate,
     "d_boiler_strip" -> Oracles.boilerStrip,
+    "d_rep_signals" -> Oracles.repSignals,
+    "d_redact" -> Oracles.redact,
     "e_knn_brute" -> Oracles.knnBrute,
     "e_cosine_dups" -> Oracles.cosineDups,
     "e_incr_dups" -> Oracles.cosineIncr,

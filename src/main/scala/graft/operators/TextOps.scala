@@ -315,6 +315,107 @@ object TextOps {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Intra-document repetition signals — the Gopher/MassiveText-style
+    * "repetitious document" filters (duplicate n-gram fractions, most
+    * frequent word share). A crawler loop or template page repeats
+    * itself INSIDE one document, which no cross-document dedup can
+    * see; these are the per-row signals that catch it. One staged
+    * projection per doc, zero shuffle: every signal is a HOF over the
+    * staged words array (n-gram arrays are built once as named aliases
+    * — the no-CSE rule). Flag thresholds: > 35% duplicate trigrams or
+    * one word > 20% of the doc.
+    */
+  val RepTrigramMax = 0.35
+  val RepTopWordMax = 0.20
+
+  /** Longest run in a sorted array = the max multiplicity of any
+    * element — the mode count, computed at scan speed (no per-word
+    * explode/shuffle) with an aggregate fold over the sorted copy.
+    */
+  private def maxRunLength(sorted: Column): Column =
+    aggregate(sorted,
+      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"),
+          acc.getField("run") + 1).otherwise(lit(1))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+
+  def repSignals(s: SparkSession, dir: String): DataFrame =
+    repSignalsOf(Tables.documents(s, dir))
+
+  def repSignalsOf(docs: DataFrame): DataFrame = {
+    val w = col("w")
+    val n = size(w)
+    def grams(k: Int): Column =
+      when(n >= k, transform(sequence(lit(1), n - (k - 1)),
+        i => concat_ws(" ", slice(w, i, lit(k)))))
+        .otherwise(array().cast("array<string>"))
+    // stage the n-gram arrays once; each is read twice (size +
+    // distinct size) and HOF args get no CSE
+    val staged = withWords(docs).select(col("doc_id"), w,
+      grams(2).as("g2"), grams(3).as("g3"))
+    def dupFrac(g: Column): Column =
+      when(size(g) > 0,
+        round((size(g) - size(array_distinct(g))) /
+          size(g).cast("double"), 4)).otherwise(lit(0.0))
+    staged.select(col("doc_id"),
+      n.cast("int").as("n_tokens"),
+      dupFrac(col("g2")).as("dup_bigram_frac"),
+      dupFrac(col("g3")).as("dup_trigram_frac"),
+      round(maxRunLength(array_sort(w)) / n.cast("double"), 4)
+        .as("top_word_frac"))
+      .withColumn("repetitive",
+        col("dup_trigram_frac") > RepTrigramMax ||
+          col("top_word_frac") > RepTopWordMax)
+      .orderBy(col("doc_id"))
+  }
+
+  /** PII-style scrubbing: the corpus with deterministic synthetic
+    * contact strings injected (the fixtures are word soup — the
+    * injection gives the redaction real work, same pattern as
+    * [[Dedup.corpus]]'s appended duplicates).
+    */
+  def piiCorpus(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val id = col("doc_id").cast("string")
+    d.select(col("doc_id"),
+      concat(col("text"),
+        when(col("doc_id") % 7 === 3,
+          concat(lit(" contact bob"), id, lit("@example.com now")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 11 === 5,
+          concat(lit(" see https://x"), id,
+            lit(".example.org/page today"))).otherwise(lit("")))
+        .as("text"))
+  }
+
+  val EmailRe = "[a-z0-9.]+@[a-z0-9.]+[a-z]"
+  val UrlRe = "https?://[^ ]+"
+
+  /** Redact emails and URLs to placeholder tokens, counting hits —
+    * the scrub pass a published training set runs before release.
+    * Scan-speed projection (two regex passes per row, no shuffle);
+    * the clean digest keys the downstream exact dedup exactly like
+    * [[normFingerprint]].
+    */
+  def redact(s: SparkSession, dir: String): DataFrame =
+    redactOf(piiCorpus(s, dir))
+
+  def redactOf(docs: DataFrame): DataFrame = {
+    val cleaned = regexp_replace(
+      regexp_replace(col("text"), EmailRe, "<EMAIL>"),
+      UrlRe, "<URL>")
+    docs.select(col("doc_id"),
+      regexp_count(col("text"), lit(EmailRe)).cast("int")
+        .as("n_emails"),
+      regexp_count(col("text"), lit(UrlRe)).cast("int").as("n_urls"),
+      md5(cleaned).as("clean_digest"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Boilerplate document-frequency threshold for [[boilerStrip]]:
     * a chunk digest held by more than this many DISTINCT docs is
     * corpus furniture (headers, license text, nav bars), not document

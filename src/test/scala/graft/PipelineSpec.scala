@@ -454,6 +454,60 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("repSignals: a degenerate repeated doc flags, a distinct doc " +
+      "does not, short-doc guards hold") {
+    val rep = Seq.fill(20)("spam").mkString(" ")
+    val dis = (1 to 20).map(i => s"w$i").mkString(" ")
+    val synth = Seq((1L, rep), (2L, dis), (3L, "one"), (4L, "one two"))
+      .toDF("doc_id", "text")
+    val out = TextOps.repSignalsOf(synth)
+      .select("doc_id", "n_tokens", "dup_bigram_frac",
+        "dup_trigram_frac", "top_word_frac", "repetitive")
+      .as[(Long, Int, Double, Double, Double, Boolean)]
+      .collect().sortBy(_._1)
+    val r1 = out(0)
+    assert(r1._3 == 0.9474 && r1._4 == 0.9444 && r1._5 == 1.0 && r1._6,
+      r1.toString)
+    val r2 = out(1)
+    assert(r2._3 == 0.0 && r2._4 == 0.0 && r2._5 == 0.05 && !r2._6,
+      r2.toString)
+    assert(out(2)._3 == 0.0 && out(2)._4 == 0.0 &&
+      out(2)._5 == 1.0 && out(2)._6, out(2).toString)
+    assert(out(3)._4 == 0.0 && out(3)._5 == 0.5, out(3).toString)
+    // the scan-speed sorted-run mode equals the explode/groupBy mode
+    val dir01 = "/root/testdata/sf0.01"
+    val hof = TextOps.repSignals(spark, dir01)
+      .select("doc_id", "top_word_frac").as[(Long, Double)]
+      .collect().toMap
+    val gold = Tables.documents(spark, dir01)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .groupBy("doc_id", "word").count()
+      .groupBy("doc_id").agg(max("count").as("topc"),
+        sum("count").as("n"))
+      .select(col("doc_id"), round(col("topc") / col("n"), 4))
+      .as[(Long, Double)].collect().toMap
+    assert(hof == gold)
+  }
+
+  test("redact: injected PII counted and scrubbed, untouched docs " +
+      "keep their digest") {
+    val dir01 = "/root/testdata/sf0.01"
+    val out = TextOps.redact(spark, dir01)
+      .select("doc_id", "n_emails", "n_urls", "clean_digest")
+      .as[(Long, Int, Int, String)].collect()
+    out.foreach { case (id, e, u, _) =>
+      assert(e == (if (id % 7 == 3) 1 else 0), s"doc $id emails $e")
+      assert(u == (if (id % 11 == 5) 1 else 0), s"doc $id urls $u")
+    }
+    assert(out.count(_._2 == 1) > 0 && out.count(_._3 == 1) > 0)
+    val untouched = Tables.documents(spark, dir01)
+      .filter(col("doc_id") % 7 =!= 3 && col("doc_id") % 11 =!= 5)
+      .select(col("doc_id"), md5(col("text")).as("d"))
+      .as[(Long, String)].collect().toMap
+    val digests = out.map(r => r._1 -> r._4).toMap
+    untouched.foreach { case (id, d) => assert(digests(id) == d) }
+  }
+
   test("packShards equals the sequential packer and is invariant to " +
       "the bucket width") {
     val dir01 = "/root/testdata/sf0.01"
