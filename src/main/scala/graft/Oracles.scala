@@ -1344,6 +1344,22 @@ object Oracles {
       |    'https?://[^ ]+', '<URL>', 'g')) AS clean_digest
       |FROM pii ORDER BY doc_id""".stripMargin
 
+  /** Mirrors [[graft.operators.Relational.asofJoin]] with DuckDB's
+    * NATIVE ASOF JOIN — a genuinely independent algorithm for the same
+    * point-in-time semantics (at-or-before match on the same key).
+    */
+  val asofJoin: String =
+    """WITH r AS (
+      |  SELECT user_id, ts, MAX(value) AS ref_value FROM events
+      |  WHERE event_type = 'error' GROUP BY 1, 2),
+      |l AS (
+      |  SELECT event_id, user_id, ts, event_type, value FROM events
+      |  WHERE event_type <> 'error')
+      |SELECT l.event_id, l.user_id, l.event_type, l.value, r.ref_value
+      |FROM l ASOF LEFT JOIN r
+      |  ON l.user_id = r.user_id AND l.ts >= r.ts
+      |ORDER BY l.event_id""".stripMargin
+
   val q1Agg: String =
     """SELECT l_returnflag, l_linestatus,
       |  ROUND(SUM(l_quantity), 4) AS sum_qty,

@@ -57,6 +57,7 @@ object SparkEntry {
     "q17_cube" -> (Relational.cubeAgg _),
     "q18_sql_exists" -> (Relational.sqlExists _),
     "q19_union_distinct" -> (Relational.unionDistinct _),
+    "q20_asof" -> (Relational.asofJoin _),
 
     // ---- training-data pipeline ops ---------------------------------------
     "d_dedup_exact" -> (Dedup.exactDuplicates _),
@@ -302,6 +303,7 @@ object SparkEntry {
     "q17_cube" -> Oracles.cubeAgg,
     "q18_sql_exists" -> Oracles.sqlExists,
     "q19_union_distinct" -> Oracles.unionDistinct,
+    "q20_asof" -> Oracles.asofJoin,
     "v_json_schema" -> Oracles.jsonSchema,
     "v_json_schema2" -> Oracles.jsonSchema2,
     "v_snapshot_diff" -> Oracles.snapshotDiff,

@@ -206,6 +206,53 @@ object Relational {
       .orderBy(col("event_id"))
   }
 
+  /** As-of join: enrich every non-error event with the SAME user's most
+    * recent error value at or before the event's timestamp — the
+    * point-in-time-correct dimension lookup (rates tables, feature
+    * snapshots) that plain equi-joins get wrong and Spark has no native
+    * operator for.
+    *
+    * Expressed by composition rather than a custom SparkPlan: union the
+    * probe and snapshot sides, then carry the snapshot value forward
+    * with `last(ignoreNulls)` over a per-user event-time window. ONE
+    * shuffle on the key, work linear in rows — where the naive
+    * `l.ts >= r.ts` theta-join is quadratic per user (a non-equi
+    * condition forces nested-loop within the key group) and a DENSE
+    * per-event subquery is worse. Snapshots are pre-aggregated to one
+    * row per (user, ts), so the at-or-before tie (`side` orders the
+    * snapshot first at equal ts) is deterministic. At 100 TB the window
+    * partitions by user — the usual hot-key story applies (salt by time
+    * range if one user dominates); nothing wider than the snapshot
+    * value rides the shuffle beyond the probe row itself.
+    */
+  def asofJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val snaps = e.filter(col("event_type") === "error")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("value")).as("ref_value"))
+    val probes = e.filter(col("event_type") =!= "error")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("event_type"), col("value"))
+    val u = probes
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("event_type"), col("value"),
+        lit(null).cast("double").as("ref_value"), lit(1).as("side"))
+      .unionAll(snaps.select(lit(null).cast("long").as("event_id"),
+        col("user_id"), col("ts"),
+        lit(null).cast("string").as("event_type"),
+        lit(null).cast("double").as("value"), col("ref_value"),
+        lit(0).as("side")))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    u.withColumn("asof_value", last(col("ref_value"), ignoreNulls = true)
+        .over(w))
+      .filter(col("side") === 1)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), col("asof_value").as("ref_value"))
+      .orderBy(col("event_id"))
+  }
+
   /** Time-bucketed aggregation on the events table — the batch equivalent
     * of the streaming tumbling-window query in [[graft.streaming]].
     */

@@ -269,6 +269,27 @@ class PlanSpec extends SparkSpec {
       local.toString)
   }
 
+  test("asofJoin: no join operator at all — union + keyed window, " +
+      "bounded shuffles") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, Window => LWindow}
+    val qe = graft.operators.Relational.asofJoin(spark, dir)
+      .queryExecution
+    // the naive l.ts >= r.ts theta-join would be a Join node (and a
+    // BroadcastNestedLoopJoin physically — quadratic per user); the
+    // composition has NO join anywhere, and every window is keyed
+    val opt = qe.optimizedPlan
+    assert(opt.collectFirst { case j: Join => j }.isEmpty, opt.toString)
+    val wins = opt.collect { case w: LWindow => w }
+    assert(wins.nonEmpty && wins.forall(_.partitionSpec.nonEmpty),
+      opt.toString)
+    // physically: snapshot pre-agg + window partitioning + the
+    // presentation sort's range exchange, nothing else (string count —
+    // collect() does not descend into the AQE wrapper)
+    val exchanges = "Exchange (hash|range)partitioning".r
+      .findAllIn(qe.executedPlan.toString).size
+    assert(exchanges <= 3, qe.executedPlan.toString)
+  }
+
   test("sampleMix is a scan-speed filter: no shuffle, no join") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.execution.SortExec
