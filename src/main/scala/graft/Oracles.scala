@@ -1360,6 +1360,28 @@ object Oracles {
       |  ON l.user_id = r.user_id AND l.ts >= r.ts
       |ORDER BY l.event_id""".stripMargin
 
+  /** Mirrors [[graft.operators.Relational.sessionize]]: same lag-break
+    * + running-sum session assignment on the same microsecond key.
+    */
+  val sessionize: String =
+    """WITH o AS (
+      |  SELECT user_id, event_id, value, epoch_us(ts) AS us
+      |  FROM events),
+      |b AS (
+      |  SELECT *, CASE WHEN lag(us) OVER w IS NULL
+      |      OR us - lag(us) OVER w > 21600000000 THEN 1 ELSE 0 END
+      |    AS brk
+      |  FROM o WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+      |s AS (
+      |  SELECT *, SUM(brk) OVER (PARTITION BY user_id
+      |    ORDER BY us, event_id) AS session_id FROM b)
+      |SELECT user_id, CAST(session_id AS INTEGER) AS session_id,
+      |  CAST(COUNT(*) AS INTEGER) AS n_events,
+      |  CAST(MAX(us) - MIN(us) AS BIGINT) AS duration_us,
+      |  ROUND(SUM(value), 4) AS total_value
+      |FROM s GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin
+
   val q1Agg: String =
     """SELECT l_returnflag, l_linestatus,
       |  ROUND(SUM(l_quantity), 4) AS sum_qty,

@@ -58,6 +58,7 @@ object SparkEntry {
     "q18_sql_exists" -> (Relational.sqlExists _),
     "q19_union_distinct" -> (Relational.unionDistinct _),
     "q20_asof" -> (Relational.asofJoin _),
+    "q21_sessions" -> (Relational.sessionize _),
 
     // ---- training-data pipeline ops ---------------------------------------
     "d_dedup_exact" -> (Dedup.exactDuplicates _),
@@ -304,6 +305,7 @@ object SparkEntry {
     "q18_sql_exists" -> Oracles.sqlExists,
     "q19_union_distinct" -> Oracles.unionDistinct,
     "q20_asof" -> Oracles.asofJoin,
+    "q21_sessions" -> Oracles.sessionize,
     "v_json_schema" -> Oracles.jsonSchema,
     "v_json_schema2" -> Oracles.jsonSchema2,
     "v_snapshot_diff" -> Oracles.snapshotDiff,

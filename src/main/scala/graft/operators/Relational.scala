@@ -253,6 +253,48 @@ object Relational {
       .orderBy(col("event_id"))
   }
 
+  /** Session gap for [[sessionize]] in microseconds (6 h at fixture
+    * event density; production tunes per product). Microseconds — not
+    * truncated seconds — so the break decision is the same exact
+    * integer comparison in any engine.
+    */
+  val SessionGapUs = 21600000000L
+
+  /** Gap-based sessionization: a user's events split into sessions
+    * wherever consecutive events are more than [[SessionGapUs]] apart;
+    * per-session stats follow. The classic two-window form — a lag
+    * break flag, then a running sum of breaks — both windows keyed on
+    * user_id, so this is ONE hash shuffle and linear per-user work;
+    * the per-user event list never sits in memory (WindowExec streams
+    * the frame). Hot users are the standard skew story (AQE/salting by
+    * day); the streaming twin is `session_window` in [[graft.streaming]]
+    * terms.
+    */
+  def sessionize(s: SparkSession, dir: String): DataFrame =
+    sessionizeOf(Tables.events(s, dir), SessionGapUs)
+
+  /** [[sessionize]] over any `(user_id, event_id, ts, value)` frame. */
+  def sessionizeOf(events: DataFrame, gapUs: Long): DataFrame = {
+    val o = events.select(col("user_id"), col("event_id"),
+      col("value"),
+      unix_micros(col("ts").cast("timestamp")).as("us"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    val withBreak = o.withColumn("brk",
+      when(lag(col("us"), 1).over(w).isNull ||
+        col("us") - lag(col("us"), 1).over(w) > gapUs, 1)
+        .otherwise(0))
+    withBreak
+      .withColumn("session_id", sum(col("brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id").cast("int")
+        .as("session_id"))
+      .agg(count(lit(1)).cast("int").as("n_events"),
+        (max(col("us")) - min(col("us"))).as("duration_us"),
+        round(sum(col("value")), 4).as("total_value"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
   /** Time-bucketed aggregation on the events table — the batch equivalent
     * of the streaming tumbling-window query in [[graft.streaming]].
     */

@@ -273,4 +273,26 @@ object StreamOps {
       .select(col("id_a"), col("id_b"))
     verifyPairs(cand, corpusStore, threshold)
   }
+
+  final case class UserEvent(user_id: Long, ts: Timestamp, value: Double)
+
+  /** Streaming gap sessionization — the streaming twin of
+    * [[graft.operators.Relational.sessionize]], via the built-in
+    * `session_window`: per-event windows `[ts, ts+gap)` merged while
+    * they overlap, which is the same grouping as the batch lag-break
+    * form (split where consecutive events are ≥ gap apart — the batch
+    * break uses > on the microsecond diff, so only an EXACTLY-gap
+    * boundary could differ; StreamingSpec avoids that degenerate tie).
+    * Watermark bounds the session state; finalized sessions emit in
+    * append mode once the watermark passes their close.
+    */
+  def sessionizeStream(events: DataFrame, gap: String,
+      watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).cast("int").as("n_events"),
+        round(sum(col("value")), 4).as("total_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("n_events"), col("total_value"))
 }

@@ -6,7 +6,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
 import graft.model.{Doc, Span}
-import graft.operators.Dedup
+import graft.operators.{Dedup, Relational}
 import graft.streaming.StreamOps
 import graft.streaming.StreamOps.{FpEvent, PartEvent, TextDoc, TimedDoc}
 
@@ -242,6 +242,44 @@ class StreamingSpec extends SparkSpec {
           col("s.valid"))
         .as[(String, Long, Long, Boolean)].collect().toSet
       assert(last === Set(("p1", 3L, 1L, false), ("p2", 1L, 0L, true)))
+    } finally q.stop()
+  }
+
+  test("streaming session_window sessions equal the batch lag-break " +
+      "sessions on the same events") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[StreamOps.UserEvent]
+    val out = StreamOps.sessionizeStream(input.toDF(), "5 minutes",
+      watermark = "1 minute")
+    val q = out.writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      val evs = Seq(
+        StreamOps.UserEvent(1L, ts(0), 1.0),
+        StreamOps.UserEvent(1L, ts(2), 2.0),
+        StreamOps.UserEvent(1L, ts(4), 3.0),
+        StreamOps.UserEvent(1L, ts(30), 4.0),
+        StreamOps.UserEvent(1L, ts(31), 5.0),
+        StreamOps.UserEvent(2L, ts(5), 6.0))
+      input.addData(evs: _*)
+      q.processAllAvailable()
+      // push the watermark far past every session close so the
+      // append-mode sessions finalize
+      input.addData(StreamOps.UserEvent(99L,
+        Timestamp.valueOf("2024-01-01 13:00:00"), 0.0))
+      q.processAllAvailable()
+      val got = spark.table("sessions")
+        .filter(col("user_id") =!= 99)
+        .select("user_id", "n_events", "total_value")
+        .as[(Long, Int, Double)].collect().toSet
+      val static = evs.zipWithIndex.map { case (e, i) =>
+        (e.user_id, i.toLong, e.ts, e.value)
+      }.toDF("user_id", "event_id", "ts", "value")
+      val batch = Relational.sessionizeOf(static, 300000000L)
+        .select("user_id", "n_events", "total_value")
+        .as[(Long, Int, Double)].collect().toSet
+      assert(got == batch, s"stream $got vs batch $batch")
+      assert(got == Set((1L, 3, 6.0), (1L, 2, 9.0), (2L, 1, 6.0)))
     } finally q.stop()
   }
 }
