@@ -1382,6 +1382,25 @@ object Oracles {
       |FROM s GROUP BY user_id, session_id
       |ORDER BY user_id, session_id""".stripMargin
 
+  /** Mirrors [[graft.operators.Relational.rangeJoin]] with the naive
+    * inequality join DuckDB can afford at fixture scale — a genuinely
+    * different algorithm from the bucketized equi-join.
+    */
+  val rangeJoin: String =
+    """WITH w AS (
+      |  SELECT CAST(x AS INTEGER) AS window_id,
+      |    1704067200000000 + x*37*3600000000 AS ws,
+      |    1704067200000000 + (x*37 + x%7 + 1)*3600000000 AS we
+      |  FROM generate_series(0,49) t(x)),
+      |e AS (SELECT event_id, value, epoch_us(ts) AS us FROM events)
+      |SELECT w.window_id,
+      |  CAST(COUNT(e.event_id) AS INTEGER) AS n_events,
+      |  ROUND(CAST(COALESCE(SUM(e.value), 0) AS DOUBLE), 4)
+      |    AS total_value
+      |FROM w LEFT JOIN e ON e.us >= w.ws AND e.us < w.we
+      |GROUP BY w.window_id
+      |ORDER BY w.window_id""".stripMargin
+
   val q1Agg: String =
     """SELECT l_returnflag, l_linestatus,
       |  ROUND(SUM(l_quantity), 4) AS sum_qty,

@@ -59,6 +59,7 @@ object SparkEntry {
     "q19_union_distinct" -> (Relational.unionDistinct _),
     "q20_asof" -> (Relational.asofJoin _),
     "q21_sessions" -> (Relational.sessionize _),
+    "q22_range_join" -> (Relational.rangeJoin _),
 
     // ---- training-data pipeline ops ---------------------------------------
     "d_dedup_exact" -> (Dedup.exactDuplicates _),
@@ -306,6 +307,7 @@ object SparkEntry {
     "q19_union_distinct" -> Oracles.unionDistinct,
     "q20_asof" -> Oracles.asofJoin,
     "q21_sessions" -> Oracles.sessionize,
+    "q22_range_join" -> Oracles.rangeJoin,
     "v_json_schema" -> Oracles.jsonSchema,
     "v_json_schema2" -> Oracles.jsonSchema2,
     "v_snapshot_diff" -> Oracles.snapshotDiff,

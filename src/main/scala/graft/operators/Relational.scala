@@ -295,6 +295,55 @@ object Relational {
       .orderBy(col("user_id"), col("session_id"))
   }
 
+  /** 2024-01-01T00:00:00 UTC in epoch microseconds — the interval
+    * table's origin (the events fixture starts there).
+    */
+  val RangeBaseUs = 1704067200000000L
+  val HourUs = 3600000000L
+
+  /** Deterministic maintenance-window intervals: window w starts at
+    * base + 37w hours and lasts (w%7 + 1) hours.
+    */
+  def maintenanceWindows(s: SparkSession): DataFrame =
+    s.range(50).select(col("id").cast("int").as("window_id"),
+      (lit(RangeBaseUs) + col("id") * lit(37L * HourUs)).as("ws"),
+      (lit(RangeBaseUs) + (col("id") * 37L + col("id") % 7L + 1L) *
+        lit(HourUs)).as("we"))
+
+  /** Range join: events falling inside time intervals, aggregated per
+    * interval. The naive `ts >= start AND ts < end` join has no equi
+    * key, so Spark plans a nested loop — quadratic. Scale form:
+    * bucketize time (1 h grain), explode each interval into the
+    * buckets it covers (bounded: grain is chosen near the median
+    * interval length, so the fan-out is O(1) per interval — ≤ 8 here),
+    * equi-join events on their bucket, then apply the exact range as a
+    * residual filter. All µs-integer arithmetic, so the oracle's
+    * engine computes identical keys.
+    */
+  def rangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val w = maintenanceWindows(s)
+    // hour-aligned intervals: covered buckets follow from the id with
+    // exact integer arithmetic (Spark `/` on longs is DOUBLE division)
+    val wb = w.select(col("window_id"), col("ws"), col("we"),
+      explode(sequence(col("window_id").cast("long") * 37L,
+        col("window_id").cast("long") * 37L + col("window_id") % 7L))
+        .as("bucket"))
+    val e = Tables.events(s, dir).select(col("event_id"), col("value"),
+      unix_micros(col("ts").cast("timestamp")).as("us"))
+      .withColumn("bucket",
+        floor((col("us") - lit(RangeBaseUs)) / lit(HourUs)))
+    val matched = e.join(broadcast(wb), Seq("bucket"))
+      .filter(col("us") >= col("ws") && col("us") < col("we"))
+      .groupBy(col("window_id"))
+      .agg(count(lit(1)).cast("int").as("n_events"),
+        round(sum(col("value")), 4).as("total_value"))
+    w.select(col("window_id")).join(matched, Seq("window_id"), "left")
+      .select(col("window_id"),
+        coalesce(col("n_events"), lit(0)).as("n_events"),
+        coalesce(col("total_value"), lit(0.0)).as("total_value"))
+      .orderBy(col("window_id"))
+  }
+
   /** Time-bucketed aggregation on the events table — the batch equivalent
     * of the streaming tumbling-window query in [[graft.streaming]].
     */

@@ -290,6 +290,17 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 3, qe.executedPlan.toString)
   }
 
+  test("rangeJoin is an equi-join on the time bucket — no nested " +
+      "loop, no cartesian product") {
+    val p = graft.operators.Relational.rangeJoin(spark, dir)
+      .queryExecution.executedPlan.toString
+    // the naive ts-in-[start,end) predicate has no equi key and plans
+    // a BroadcastNestedLoopJoin; the bucketized form must not
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("SortMergeJoin"), p)
+  }
+
   test("sampleMix is a scan-speed filter: no shuffle, no join") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.execution.SortExec
