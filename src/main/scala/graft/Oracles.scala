@@ -1401,6 +1401,23 @@ object Oracles {
       |GROUP BY w.window_id
       |ORDER BY w.window_id""".stripMargin
 
+  /** Mirrors [[graft.operators.Relational.pivotEvents]] as the
+    * conditional aggregation a pivot lowers to.
+    */
+  val pivotEvents: String =
+    """SELECT user_id,
+      |  CAST(COALESCE(SUM(CASE WHEN event_type='click' THEN 1 END), 0)
+      |    AS BIGINT) AS click,
+      |  CAST(COALESCE(SUM(CASE WHEN event_type='error' THEN 1 END), 0)
+      |    AS BIGINT) AS error,
+      |  CAST(COALESCE(SUM(CASE WHEN event_type='purchase' THEN 1 END), 0)
+      |    AS BIGINT) AS purchase,
+      |  CAST(COALESCE(SUM(CASE WHEN event_type='signup' THEN 1 END), 0)
+      |    AS BIGINT) AS signup,
+      |  CAST(COALESCE(SUM(CASE WHEN event_type='view' THEN 1 END), 0)
+      |    AS BIGINT) AS view
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val q1Agg: String =
     """SELECT l_returnflag, l_linestatus,
       |  ROUND(SUM(l_quantity), 4) AS sum_qty,

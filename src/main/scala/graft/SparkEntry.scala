@@ -60,6 +60,7 @@ object SparkEntry {
     "q20_asof" -> (Relational.asofJoin _),
     "q21_sessions" -> (Relational.sessionize _),
     "q22_range_join" -> (Relational.rangeJoin _),
+    "q23_pivot" -> (Relational.pivotEvents _),
 
     // ---- training-data pipeline ops ---------------------------------------
     "d_dedup_exact" -> (Dedup.exactDuplicates _),
@@ -308,6 +309,7 @@ object SparkEntry {
     "q20_asof" -> Oracles.asofJoin,
     "q21_sessions" -> Oracles.sessionize,
     "q22_range_join" -> Oracles.rangeJoin,
+    "q23_pivot" -> Oracles.pivotEvents,
     "v_json_schema" -> Oracles.jsonSchema,
     "v_json_schema2" -> Oracles.jsonSchema2,
     "v_snapshot_diff" -> Oracles.snapshotDiff,

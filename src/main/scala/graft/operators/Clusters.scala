@@ -131,6 +131,29 @@ object Clusters {
       .orderBy(col("cluster_id"), col("doc_id"))
   }
 
+  /** Write the verified near-dup pair edges once — the expensive
+    * product of the whole MinHash pipeline (shingle → sign → band →
+    * verify), persisted so every downstream sweep (clusters, keep
+    * rules, composed keep-sweeps) runs from a stored ids-only table
+    * instead of recomputing the pipeline per consumer. The edge-table
+    * twin of [[Dedup.writeSignatureTable]]: at production scale this
+    * is written per ingestion batch and the sweeps are metadata-cheap.
+    */
+  def writePairEdges(s: SparkSession, dir: String, path: String): Unit =
+    org.apache.spark.sql.GraftBridge.stripTopSort(
+      Dedup.minhashCandidates(s, dir)).select(col("id_a"), col("id_b"))
+      .write.mode("overwrite").parquet(path)
+
+  /** [[dupClusters]] from a STORED edge table — no re-shingling, no
+    * banding, no verify: the closure's input is just (id_a, id_b)
+    * parquet.
+    */
+  def dupClustersFrom(edges: DataFrame): DataFrame =
+    connectedComponents(edges.select(col("id_a"), col("id_b")))
+      .select(col("cluster_id"), col("doc_id"),
+        (col("doc_id") === col("cluster_id")).as("keep"))
+      .orderBy(col("cluster_id"), col("doc_id"))
+
   /** QUALITY-AWARE keep rule (VERDICT r4 missing #2): per near-dup
     * cluster keep the BEST-QUALITY member, not the smallest id — the
     * rule production sweeps actually run (a crawl's canonical copy is

@@ -344,6 +344,21 @@ object Relational {
       .orderBy(col("window_id"))
   }
 
+  /** Pivot: per-user event-type counts as columns. The value list is
+    * EXPLICIT — `pivot(col)` without one runs a driver-side distinct
+    * job over the full table first and caps at
+    * `spark.sql.pivotMaxValues`; with the list the pivot lowers to
+    * plain conditional aggregation (one shuffle, map-side partials).
+    */
+  def pivotEvents(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .pivot("event_type",
+        Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy(col("user_id"))
+
   /** Time-bucketed aggregation on the events table — the batch equivalent
     * of the streaming tumbling-window query in [[graft.streaming]].
     */

@@ -290,4 +290,24 @@ class IncrementalSpec extends SparkSpec {
     assert(got(10L) === (10L, true) && got(11L) === (10L, false),
       "ties break to the smaller doc_id")
   }
+
+  test("clusters from the STORED pair-edge table equal the recomputed " +
+      "pipeline, and the stored path never re-reads the corpus") {
+    val path = Dedup.sigTablePath(dir01) + "-edges-spec"
+    Clusters.writePairEdges(spark, dir01, path)
+    Candidates.releaseAll(blocking = true)
+    val edges = spark.read.parquet(path)
+    // the stored path's only input is the edge parquet (the closure
+    // checkpoints internally, so inspect the INPUT plan): no documents
+    // scan, no shingling — the MinHash pipeline is entirely absent
+    val scans = edges.inputFiles
+    assert(scans.nonEmpty && scans.forall(_.contains("edges-spec")),
+      scans.mkString(", "))
+    val got = Clusters.dupClustersFrom(edges)
+      .as[(Long, Long, Boolean)].collect().toSeq
+    val expected = Clusters.dupClusters(spark, dir01)
+      .as[(Long, Long, Boolean)].collect().toSeq
+    Candidates.releaseAll(blocking = true)
+    assert(got == expected && got.nonEmpty)
+  }
 }
