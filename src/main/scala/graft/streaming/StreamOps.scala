@@ -276,6 +276,31 @@ object StreamOps {
 
   final case class UserEvent(user_id: Long, ts: Timestamp, value: Double)
 
+  final case class Impression(user_id: Long, imp_id: Long, imp_ts: Timestamp)
+  final case class Click(user_id: Long, click_id: Long, click_ts: Timestamp)
+
+  /** Stream-stream attribution join: each click matched to the same
+    * user's impressions in the preceding attribution window. Both
+    * sides carry watermarks, and the join condition bounds click_ts to
+    * [imp_ts, imp_ts + window], so Spark can expire buffered state on
+    * BOTH sides — without the time bound a stream-stream inner join
+    * must buffer every row forever. State is therefore
+    * O(rows-per-watermark-horizon), not O(stream). Append mode.
+    */
+  def attributionJoin(impressions: DataFrame, clicks: DataFrame,
+      window: String = "10 minutes",
+      watermark: String = "10 minutes"): DataFrame = {
+    val imp = impressions.withWatermark("imp_ts", watermark)
+    val clk = clicks.withWatermark("click_ts", watermark)
+    imp.join(clk,
+      imp("user_id") === clk("user_id") &&
+        clk("click_ts") >= imp("imp_ts") &&
+        clk("click_ts") <= imp("imp_ts") + expr(s"INTERVAL $window"),
+      "inner")
+      .select(imp("user_id"), col("imp_id"), col("click_id"),
+        col("imp_ts"), col("click_ts"))
+  }
+
   /** Streaming gap sessionization — the streaming twin of
     * [[graft.operators.Relational.sessionize]], via the built-in
     * `session_window`: per-event windows `[ts, ts+gap)` merged while

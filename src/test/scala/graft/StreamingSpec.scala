@@ -282,4 +282,31 @@ class StreamingSpec extends SparkSpec {
       assert(got == Set((1L, 3, 6.0), (1L, 2, 9.0), (2L, 1, 6.0)))
     } finally q.stop()
   }
+
+  test("stream-stream attribution join: clicks match only same-user " +
+      "impressions inside the window, across micro-batches") {
+    implicit val ctx = spark.sqlContext
+    val imps = MemoryStream[StreamOps.Impression]
+    val clks = MemoryStream[StreamOps.Click]
+    val out = StreamOps.attributionJoin(imps.toDF(), clks.toDF(),
+      window = "5 minutes", watermark = "10 minutes")
+    val q = out.writeStream.format("memory").queryName("attrib")
+      .outputMode("append").start()
+    try {
+      imps.addData(StreamOps.Impression(1L, 100L, ts(0)),
+        StreamOps.Impression(1L, 101L, ts(20)),
+        StreamOps.Impression(2L, 200L, ts(0)))
+      q.processAllAvailable()
+      // clicks arrive in a LATER micro-batch: the buffered impression
+      // state must still match them
+      clks.addData(StreamOps.Click(1L, 900L, ts(3)),   // -> imp 100
+        StreamOps.Click(1L, 901L, ts(22)),              // -> imp 101
+        StreamOps.Click(1L, 902L, ts(40)),              // no imp window
+        StreamOps.Click(2L, 903L, ts(21)))              // wrong time
+      q.processAllAvailable()
+      val got = spark.table("attrib")
+        .select("imp_id", "click_id").as[(Long, Long)].collect().toSet
+      assert(got == Set((100L, 900L), (101L, 901L)), got.toString)
+    } finally q.stop()
+  }
 }
