@@ -122,14 +122,16 @@ object Clusters {
     * component, the minimum doc_id is kept and every other member
     * dropped. Output `(cluster_id, doc_id, keep)`.
     */
-  def dupClusters(s: SparkSession, dir: String): DataFrame = {
-    val edges = org.apache.spark.sql.GraftBridge.stripTopSort(
+  /** The verified MinHash near-dup pair edges on the [[Dedup.corpus]]
+    * fixture — the one edge expression every sweep and the persisted
+    * table share.
+    */
+  private def pairEdges(s: SparkSession, dir: String): DataFrame =
+    org.apache.spark.sql.GraftBridge.stripTopSort(
       Dedup.minhashCandidates(s, dir)).select(col("id_a"), col("id_b"))
-    connectedComponents(edges)
-      .select(col("cluster_id"), col("doc_id"),
-        (col("doc_id") === col("cluster_id")).as("keep"))
-      .orderBy(col("cluster_id"), col("doc_id"))
-  }
+
+  def dupClusters(s: SparkSession, dir: String): DataFrame =
+    dupClustersFrom(pairEdges(s, dir))
 
   /** Write the verified near-dup pair edges once — the expensive
     * product of the whole MinHash pipeline (shingle → sign → band →
@@ -140,9 +142,7 @@ object Clusters {
     * is written per ingestion batch and the sweeps are metadata-cheap.
     */
   def writePairEdges(s: SparkSession, dir: String, path: String): Unit =
-    org.apache.spark.sql.GraftBridge.stripTopSort(
-      Dedup.minhashCandidates(s, dir)).select(col("id_a"), col("id_b"))
-      .write.mode("overwrite").parquet(path)
+    pairEdges(s, dir).write.mode("overwrite").parquet(path)
 
   /** [[dupClusters]] from a STORED edge table — no re-shingling, no
     * banding, no verify: the closure's input is just (id_a, id_b)

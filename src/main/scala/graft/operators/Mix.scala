@@ -58,9 +58,7 @@ object Mix {
     * DuckDB oracle computes the identical bucket, and so can any
     * downstream auditor of the published training set.
     */
-  def mixBucket(docId: Column): Column =
-    conv(substring(md5(concat(lit("mix:"), docId.cast("string"))), 1, 15),
-      16, 10).cast("long") % 1000
+  def mixBucket(docId: Column): Column = orderKey("mix:", docId) % 1000
 
   /** Deterministic 60-bit order key — the "global shuffle" a training
     * run needs, made reproducible: position follows from the doc alone

@@ -225,8 +225,13 @@ object Relational {
     * range if one user dominates); nothing wider than the snapshot
     * value rides the shuffle beyond the probe row itself.
     */
-  def asofJoin(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.events(s, dir)
+  def asofJoin(s: SparkSession, dir: String): DataFrame =
+    asofJoinOf(Tables.events(s, dir))
+
+  /** [[asofJoin]] over any `(event_id, user_id, ts, event_type,
+    * value)` frame.
+    */
+  def asofJoinOf(e: DataFrame): DataFrame = {
     val snaps = e.filter(col("event_type") === "error")
       .groupBy(col("user_id"), col("ts"))
       .agg(max(col("value")).as("ref_value"))
@@ -245,11 +250,16 @@ object Relational {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    u.withColumn("asof_value", last(col("ref_value"), ignoreNulls = true)
-        .over(w))
+    // carry the last snapshot ROW (a struct — non-null even when the
+    // snapshot's value is null), not the last non-null value: ASOF
+    // semantics match the most recent snapshot row, and skipping
+    // null-valued snapshots would resurrect an older value
+    u.withColumn("asof", last(
+        when(col("side") === 0, struct(col("ref_value"))),
+        ignoreNulls = true).over(w))
       .filter(col("side") === 1)
       .select(col("event_id"), col("user_id"), col("event_type"),
-        col("value"), col("asof_value").as("ref_value"))
+        col("value"), col("asof.ref_value").as("ref_value"))
       .orderBy(col("event_id"))
   }
 
@@ -261,7 +271,8 @@ object Relational {
   val SessionGapUs = 21600000000L
 
   /** Gap-based sessionization: a user's events split into sessions
-    * wherever consecutive events are more than [[SessionGapUs]] apart;
+    * wherever consecutive events are MORE than [[SessionGapUs]] apart
+    * (the gap bound is inclusive, matching `session_window`);
     * per-session stats follow. The classic two-window form — a lag
     * break flag, then a running sum of breaks — both windows keyed on
     * user_id, so this is ONE hash shuffle and linear per-user work;
@@ -280,6 +291,11 @@ object Relational {
       unix_micros(col("ts").cast("timestamp")).as("us"))
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("us"), col("event_id"))
+    // > : an exactly-gap-sized interval MERGES — measured against the
+    // streaming session_window twin, whose merge bound is inclusive
+    // (an event at exactly prevEnd extends the session); the two forms
+    // agree on every input, ties included (StreamingSpec covers the
+    // exact-gap tie)
     val withBreak = o.withColumn("brk",
       when(lag(col("us"), 1).over(w).isNull ||
         col("us") - lag(col("us"), 1).over(w) > gapUs, 1)

@@ -305,9 +305,10 @@ object StreamOps {
     * [[graft.operators.Relational.sessionize]], via the built-in
     * `session_window`: per-event windows `[ts, ts+gap)` merged while
     * they overlap, which is the same grouping as the batch lag-break
-    * form (split where consecutive events are ≥ gap apart — the batch
-    * break uses > on the microsecond diff, so only an EXACTLY-gap
-    * boundary could differ; StreamingSpec avoids that degenerate tie).
+    * form: session_window's merge bound is INCLUSIVE (measured — an
+    * event at exactly prevEnd extends the session), so both forms
+    * merge an exactly-gap-sized interval; the batch break is > on the
+    * microsecond diff. StreamingSpec covers the exact-gap tie.
     * Watermark bounds the session state; finalized sessions emit in
     * append mode once the watermark passes their close.
     */

@@ -508,6 +508,25 @@ class PipelineSpec extends SparkSpec {
     untouched.foreach { case (id, d) => assert(digests(id) == d) }
   }
 
+  test("asofJoin matches the most recent snapshot ROW — a null-valued " +
+      "snapshot is not skipped for an older value") {
+    def t(hm: String) = java.sql.Timestamp.valueOf(s"2024-01-01 $hm:00")
+    val events = Seq(
+      (0L, 1L, t("10:00"), "error", Option(5.0)),
+      (1L, 1L, t("10:05"), "click", Option(1.0)),
+      (2L, 1L, t("10:10"), "error", Option.empty[Double]),
+      (3L, 1L, t("10:20"), "click", Option(1.0)),
+      (4L, 2L, t("10:00"), "click", Option(1.0)))
+      .toDF("event_id", "user_id", "ts", "event_type", "value")
+    val got = graft.operators.Relational.asofJoinOf(events)
+      .select("event_id", "ref_value")
+      .as[(Long, Option[Double])].collect().toMap
+    assert(got(1L) == Some(5.0))  // before the null snapshot
+    assert(got(3L) == None,       // AT the null snapshot: null, not 5.0
+      s"null-valued snapshot must win: ${got(3L)}")
+    assert(got(4L) == None)       // no snapshot at all
+  }
+
   test("packShards equals the sequential packer and is invariant to " +
       "the bucket width") {
     val dir01 = "/root/testdata/sf0.01"

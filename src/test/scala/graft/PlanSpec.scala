@@ -20,6 +20,29 @@ class PlanSpec extends SparkSpec {
   private def physical(df: DataFrame): String =
     df.queryExecution.executedPlan.toString
 
+  import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan}
+
+  /** Every path from `p` down to a scan passes through an Aggregate —
+    * a serial step guarded by it only ever sees aggregated
+    * (metadata-scale) rows, never raw doc rows.
+    */
+  private def aggGuarded(p: LogicalPlan): Boolean = p match {
+    case _: Aggregate => true
+    case l if l.children.isEmpty => false
+    case n => n.children.forall(aggGuarded)
+  }
+
+  /** The physical plan with AQE OFF: `collect()` cannot see inside the
+    * AdaptiveSparkPlanExec wrapper, which silently turns shuffle/join
+    * audits into no-ops.
+    */
+  private def staticPlan(df: => DataFrame)
+      : org.apache.spark.sql.execution.SparkPlan = {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try df.queryExecution.executedPlan
+    finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("filter + projection push down into the parquet scan") {
     val p = physical(Relational.filterProject(spark, dir))
     assert(p.contains("PushedFilters: ["), p)
@@ -200,23 +223,12 @@ class PlanSpec extends SparkSpec {
     // every path from the serial window down to a scan passes through
     // the bucket AGGREGATE: the serial step only ever sees
     // corpus/bucketSize subtotal rows, never a document row
-    import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
-    def aggGuarded(p: LogicalPlan): Boolean = p match {
-      case _: Aggregate => true
-      case l if l.children.isEmpty => false
-      case n => n.children.forall(aggGuarded)
-    }
     assert(aggGuarded(global.head.child), global.head.toString)
   }
 
   test("trainOrder: the serial window sees bucket counts only; " +
       "stratifiedSample has NO global-order window at all") {
-    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Window => LWindow}
-    def aggGuarded(p: LogicalPlan): Boolean = p match {
-      case _: Aggregate => true
-      case l if l.children.isEmpty => false
-      case n => n.children.forall(aggGuarded)
-    }
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     val ord = graft.operators.Mix.trainOrder(spark, dir)
       .queryExecution.optimizedPlan
     val (oGlobal, oLocal) = ord.collect { case w: LWindow => w }
@@ -242,8 +254,7 @@ class PlanSpec extends SparkSpec {
   test("repeatMix is scan-speed: no shuffle upstream of the " +
       "presentation sort, no join") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
-    val exec = graft.operators.Mix.repeatMix(spark, dir)
-      .queryExecution.executedPlan
+    val exec = staticPlan(graft.operators.Mix.repeatMix(spark, dir))
     val shuffles = exec.collect { case e: ShuffleExchangeExec => e }
     assert(shuffles.size <= 1, exec.toString)
     assert(exec.collectFirst {
@@ -253,12 +264,7 @@ class PlanSpec extends SparkSpec {
 
   test("qualityGate: the serial window sees per-cell aggregates only; " +
       "doc rows pass only a (score, bucket)-partitioned window") {
-    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Window => LWindow}
-    def aggGuarded(p: LogicalPlan): Boolean = p match {
-      case _: Aggregate => true
-      case l if l.children.isEmpty => false
-      case n => n.children.forall(aggGuarded)
-    }
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     val p = graft.operators.Mix.qualityGate(spark, dir)
       .queryExecution.optimizedPlan
     val (global, local) = p.collect { case w: LWindow => w }
@@ -304,8 +310,7 @@ class PlanSpec extends SparkSpec {
   test("sampleMix is a scan-speed filter: no shuffle, no join") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.execution.SortExec
-    val exec = graft.operators.Mix.sampleMix(spark, dir)
-      .queryExecution.executedPlan
+    val exec = staticPlan(graft.operators.Mix.sampleMix(spark, dir))
     // the only exchange allowed is the final presentation orderBy's
     // range partitioning; nothing upstream of it may shuffle
     val shuffles = exec.collect { case e: ShuffleExchangeExec => e }

@@ -260,7 +260,11 @@ class StreamingSpec extends SparkSpec {
         StreamOps.UserEvent(1L, ts(4), 3.0),
         StreamOps.UserEvent(1L, ts(30), 4.0),
         StreamOps.UserEvent(1L, ts(31), 5.0),
-        StreamOps.UserEvent(2L, ts(5), 6.0))
+        // exactly-gap-sized interval: BOTH forms must MERGE (the
+        // session_window merge bound is inclusive; the batch break
+        // is >)
+        StreamOps.UserEvent(2L, ts(5), 6.0),
+        StreamOps.UserEvent(2L, ts(10), 7.0))
       input.addData(evs: _*)
       q.processAllAvailable()
       // push the watermark far past every session close so the
@@ -279,7 +283,7 @@ class StreamingSpec extends SparkSpec {
         .select("user_id", "n_events", "total_value")
         .as[(Long, Int, Double)].collect().toSet
       assert(got == batch, s"stream $got vs batch $batch")
-      assert(got == Set((1L, 3, 6.0), (1L, 2, 9.0), (2L, 1, 6.0)))
+      assert(got == Set((1L, 3, 6.0), (1L, 2, 9.0), (2L, 2, 13.0)))
     } finally q.stop()
   }
 
