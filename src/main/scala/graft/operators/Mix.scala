@@ -136,6 +136,28 @@ object Mix {
       .orderBy(col("doc_id"))
   }
 
+  /** Write training shards: the [[packShards]] assignment joined back
+    * to the text, written as ONE JSONL directory per shard (the format
+    * training loaders actually consume) plus a parquet manifest of
+    * per-shard doc/token counts. `repartition(shard_id)` co-locates a
+    * shard's docs into one task's files; the manifest is a
+    * metadata-scale agg (one row per shard). Returns the manifest.
+    */
+  def writeShards(s: SparkSession, dir: String, out: String): DataFrame = {
+    val packed = packShards(s, dir)
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    packed.join(docs, Seq("doc_id"))
+      .select(col("shard_id"), col("doc_id"), col("toks"), col("text"))
+      .repartition(col("shard_id"))
+      .write.mode("overwrite").partitionBy("shard_id")
+      .json(s"$out/data")
+    val manifest = packed.groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("docs"), sum(col("toks")).as("tokens"))
+      .orderBy(col("shard_id"))
+    manifest.write.mode("overwrite").parquet(s"$out/manifest")
+    manifest
+  }
+
   /** Order-key buckets for the two-level position assignment. The key
     * is uniform on [0, 2^60), so dividing by a fixed width yields
     * near-equal buckets with NO data statistics — unlike

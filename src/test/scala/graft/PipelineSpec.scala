@@ -527,6 +527,37 @@ class PipelineSpec extends SparkSpec {
     assert(got(4L) == None)       // no snapshot at all
   }
 
+  test("writeShards: JSONL read-back reproduces the packing exactly, " +
+      "manifest counts match, every shard lands") {
+    val dir01 = "/root/testdata/sf0.01"
+    val out = "target/graft_shards_spec"
+    val manifest = Mix.writeShards(spark, dir01, out)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    val packed = Mix.packShards(spark, dir01)
+      .select("doc_id", "toks", "shard_id")
+      .as[(Long, Long, Long)].collect()
+    // manifest = exact per-shard doc/token totals of the assignment
+    val expected = packed.groupBy(_._3).map { case (sid, rows) =>
+      (sid, rows.length.toLong, rows.map(_._2).sum)
+    }.toSeq.sortBy(_._1)
+    assert(manifest.toSeq == expected)
+    // shards partition the corpus: every doc exactly once
+    assert(packed.map(_._1).distinct.length ==
+      Tables.documents(spark, dir01).count())
+    // JSONL read-back: same (doc_id, toks, shard_id) triples
+    val back = spark.read.json(s"$out/data")
+      .select("doc_id", "toks", "shard_id")
+      .as[(Long, Long, Long)].collect()
+    assert(back.sorted.toSeq == packed.sorted.toSeq)
+    // and per-shard token sums stay within budget + one max-doc slack
+    // (a doc is never split, so the only overshoot is the doc that
+    // crosses the boundary)
+    val maxDoc = packed.map(_._2).max
+    expected.foreach { case (sid, _, toks) =>
+      assert(toks <= Mix.ShardBudget + maxDoc, s"shard $sid: $toks")
+    }
+  }
+
   test("packShards equals the sequential packer and is invariant to " +
       "the bucket width") {
     val dir01 = "/root/testdata/sf0.01"
