@@ -558,6 +558,36 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("JsonlSource: good lines parse, a corrupt line becomes an " +
+      "error row instead of killing the read") {
+    val out = "target/graft_jsonl_spec"
+    val lines = Seq(
+      """{"doc_id": 1, "text": "hello world", "lang": "en", "source": "s1"}""",
+      """{"doc_id": 2, "text": "bonjour", "lang": "fr", "source": "s2"}""",
+      """{"doc_id": 3, "text": "truncated...""")
+    import java.nio.file.{Files, Paths}
+    Files.createDirectories(Paths.get(out))
+    Files.write(Paths.get(s"$out/part-0.jsonl"),
+      lines.mkString("\n").getBytes("UTF-8"))
+    val got = graft.sources.JsonlSource.readDocuments(spark, out)
+      .select("doc_id", "text", "parse_error")
+      .as[(Option[Long], Option[String], Option[String])]
+      .collect()
+    val ok = got.filter(_._3.isEmpty)
+    assert(ok.map(r => (r._1.get, r._2.get)).toSet ==
+      Set((1L, "hello world"), (2L, "bonjour")))
+    val bad = got.filter(_._3.nonEmpty)
+    assert(bad.length == 1 && bad.head._3.get.contains("truncated"),
+      got.mkString("; "))
+    // round trip: the writeShards JSONL output reads back clean
+    val shards = "target/graft_shards_spec/data"
+    Mix.writeShards(spark, "/root/testdata/sf0.01",
+      "target/graft_shards_spec")
+    val back = spark.read.json(shards)
+    assert(back.count() ==
+      Tables.documents(spark, "/root/testdata/sf0.01").count())
+  }
+
   test("packShards equals the sequential packer and is invariant to " +
       "the bucket width") {
     val dir01 = "/root/testdata/sf0.01"
