@@ -375,6 +375,59 @@ object Relational {
       .na.fill(0L)
       .orderBy(col("user_id"))
 
+  /** Skew-safe [[sessionizeOf]]: identical output, but no window ever
+    * partitions by user alone — a bot account with 10^9 events would
+    * drag its whole timeline through ONE task in the plain form. Events
+    * chunk by a fixed time grain (chunkUs > gapUs, so sessions cannot
+    * jump a whole empty chunk), sessionize WITHIN (user, chunk), then
+    * stitch at chunk boundaries: a per-(user, chunk) summary frame
+    * (metadata-scale — active user-chunks, not events) decides with one
+    * lag whether each chunk's first session continues the previous
+    * chunk's last (boundary gap ≤ gapUs), and an exclusive cumsum of
+    * (sessions − merges) renumbers locals to the global ids — which
+    * come out IDENTICAL to the single-window numbering, not merely
+    * isomorphic. The per-user serial step sees only chunk summaries;
+    * doc rows pass only (user, chunk)-partitioned windows.
+    */
+  def sessionizeSkewSafe(events: DataFrame, gapUs: Long,
+      chunkUs: Long): DataFrame = {
+    require(chunkUs > gapUs,
+      "chunk must exceed the gap or sessions could span an empty chunk")
+    val o = events.select(col("user_id"), col("event_id"), col("value"),
+      unix_micros(col("ts").cast("timestamp")).as("us"))
+      .withColumn("chunk", floor(col("us") / lit(chunkUs)))
+    val wc = Window.partitionBy(col("user_id"), col("chunk"))
+      .orderBy(col("us"), col("event_id"))
+    val local = o.withColumn("brk",
+        when(lag(col("us"), 1).over(wc).isNull ||
+          col("us") - lag(col("us"), 1).over(wc) > gapUs, 1)
+          .otherwise(0))
+      .withColumn("local_sid", sum(col("brk")).over(
+        wc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val stats = local.groupBy(col("user_id"), col("chunk"))
+      .agg(max(col("local_sid")).as("n_sessions"),
+        min(col("us")).as("first_us"), max(col("us")).as("last_us"))
+    val wu = Window.partitionBy(col("user_id")).orderBy(col("chunk"))
+    // non-adjacent active chunks never merge: the boundary gap spans at
+    // least one whole empty chunk > gapUs, so the us-difference test
+    // alone is sufficient (null lag → otherwise(0))
+    val merged = stats.withColumn("m",
+      when(col("first_us") - lag(col("last_us"), 1).over(wu) <= gapUs,
+        1L).otherwise(0L))
+    val offsets = merged.withColumn("offset",
+      coalesce(sum(col("n_sessions") - col("m")).over(
+        wu.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("user_id"), col("chunk"), col("m"), col("offset"))
+    local.join(offsets, Seq("user_id", "chunk"))
+      .withColumn("session_id",
+        (col("offset") + col("local_sid") - col("m")).cast("int"))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).cast("int").as("n_events"),
+        (max(col("us")) - min(col("us"))).as("duration_us"),
+        round(sum(col("value")), 4).as("total_value"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
   /** Time-bucketed aggregation on the events table — the batch equivalent
     * of the streaming tumbling-window query in [[graft.streaming]].
     */
