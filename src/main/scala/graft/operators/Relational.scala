@@ -88,6 +88,32 @@ object Relational {
       .orderBy(col("o_custkey"), col("rn"))
   }
 
+  /** Skew-safe [[windowTopK]]: identical output, but a hot customer
+    * never single-tasks. Rows first compete within (customer, salt) —
+    * the salt is a deterministic hash of the row, so partitions are
+    * bounded at ~rows/salts — and only each salt's local top-k (≤ k·S
+    * candidate rows per customer, a constant) reaches the per-customer
+    * final window. The same two-level discipline as
+    * [[sessionizeSkewSafe]], specialized to top-k's happy property
+    * that a global top-k row must be in its salt's local top-k.
+    */
+  def windowTopKSkewSafe(s: SparkSession, dir: String,
+      salts: Int = 8): DataFrame = {
+    val order = Seq(col("o_totalprice").desc, col("o_orderkey"))
+    val w1 = Window.partitionBy(col("o_custkey"), col("salt"))
+      .orderBy(order: _*)
+    val w2 = Window.partitionBy(col("o_custkey")).orderBy(order: _*)
+    Tables.orders(s, dir)
+      .withColumn("salt", pmod(xxhash64(col("o_orderkey")), lit(salts)))
+      .withColumn("rn1", row_number().over(w1))
+      .filter(col("rn1") <= 3)
+      .withColumn("rn", row_number().over(w2))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(col("o_totalprice"), 4).as("price"), col("rn"))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
   /** Global sort + limit (TakeOrderedAndProject — no full sort at scale). */
   def sortLimit(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)

@@ -619,6 +619,17 @@ class PipelineSpec extends SparkSpec {
     assert(one.length == 1 && one.head._3 == 24, one.mkString("; "))
   }
 
+  test("windowTopKSkewSafe equals the plain per-key window top-k") {
+    import graft.operators.Relational
+    val dir01 = "/root/testdata/sf0.01"
+    val plain = Relational.windowTopK(spark, dir01)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val safe = Relational.windowTopKSkewSafe(spark, dir01)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(safe == plain && safe.nonEmpty,
+      s"diff ${safe.diff(plain).take(3)} / ${plain.diff(safe).take(3)}")
+  }
+
   test("packShards equals the sequential packer and is invariant to " +
       "the bucket width") {
     val dir01 = "/root/testdata/sf0.01"
