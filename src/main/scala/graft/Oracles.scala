@@ -1418,6 +1418,21 @@ object Oracles {
       |    AS BIGINT) AS view
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** Mirrors [[graft.operators.Similarity.centroids]]: identical ×4096
+    * quantization (power-of-two float scaling is exact), exact integer
+    * sums, same deterministic division.
+    */
+  val centroids: String =
+    """WITH x AS (
+      |  SELECT label, unnest(embedding) AS v,
+      |    unnest(generate_series(1, len(embedding))) AS p
+      |  FROM embeddings)
+      |SELECT label, CAST(p - 1 AS INTEGER) AS pos,
+      |  CAST(COUNT(*) AS INTEGER) AS n_vecs,
+      |  ROUND(CAST(SUM(CAST(FLOOR(v * 4096) AS BIGINT)) AS BIGINT)
+      |    / COUNT(*), 4) AS centroid_q
+      |FROM x GROUP BY label, p ORDER BY label, pos""".stripMargin
+
   val q1Agg: String =
     """SELECT l_returnflag, l_linestatus,
       |  ROUND(SUM(l_quantity), 4) AS sum_qty,

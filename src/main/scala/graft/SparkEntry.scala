@@ -89,6 +89,7 @@ object SparkEntry {
     "d_rep_signals" -> (TextOps.repSignals _),
     "d_redact" -> (TextOps.redact _),
     "e_knn_brute" -> ((s, dir) => Similarity.knnBrute(s, dir)),
+    "e_centroids" -> (Similarity.centroids _),
     // gated on the LSH scale path; the oracle is the independent exact
     // all-pairs SQL (same pattern as d_minhash_pairs vs d_jaccard_pairs)
     "e_cosine_dups" -> ((s, dir) => Similarity.cosineDupsLsh(s, dir)),
@@ -286,6 +287,7 @@ object SparkEntry {
     "d_rep_signals" -> Oracles.repSignals,
     "d_redact" -> Oracles.redact,
     "e_knn_brute" -> Oracles.knnBrute,
+    "e_centroids" -> Oracles.centroids,
     "e_cosine_dups" -> Oracles.cosineDups,
     "e_incr_dups" -> Oracles.cosineIncr,
     "e_knn_lsh" -> Oracles.knnLsh,

@@ -479,4 +479,26 @@ object Similarity {
       .filter(col("rank") <= k)
       .orderBy(col("qid"), col("rank"))
   }
+
+  /** Per-label embedding centroids (mean pooling) — the class-prototype
+    * aggregation behind SemDeDup-style semantic clustering and
+    * nearest-class-mean labeling. Computed per (label, dimension) via
+    * posexplode + aggregation: the explode never hits the wire, because
+    * partial (map-side) aggregation collapses each task's element rows
+    * to labels × dims partial sums before the shuffle — the scalable
+    * mean-pooling shape. Values are ×4096 integer-quantized before
+    * summing (scaling a float by a power of two is exact), so the sum
+    * is exact integer arithmetic in ANY engine and the final division
+    * is deterministic — the repo-standard trick for cross-engine float
+    * comparison.
+    */
+  def centroids(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("label"),
+        posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg(count(lit(1)).cast("int").as("n_vecs"),
+        round(sum(floor(col("v") * 4096).cast("long")) / count(lit(1)),
+          4).as("centroid_q"))
+      .orderBy(col("label"), col("pos"))
 }
