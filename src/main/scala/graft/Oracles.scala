@@ -1433,6 +1433,36 @@ object Oracles {
       |    / COUNT(*), 4) AS centroid_q
       |FROM x GROUP BY label, p ORDER BY label, pos""".stripMargin
 
+  /** Mirrors [[graft.operators.TextOps.dataCard]]: same quality
+    * composite, same ×10000 quantization before the mean.
+    */
+  val dataCard: String =
+    """WITH q AS (
+      |  SELECT source, lang, n_tokens,
+      |    CAST(ROUND(10000 * (
+      |      CASE WHEN n_tokens >= 10 THEN 0.4 ELSE 0.0 END +
+      |      CASE WHEN punct_ratio <= 0.1 THEN 0.3 ELSE 0.0 END +
+      |      CASE WHEN stop_ratio >= 0.05 THEN 0.3 ELSE 0.0 END))
+      |      AS BIGINT) AS qint
+      |  FROM (
+      |    SELECT source, lang, len(w) AS n_tokens,
+      |      (length(text) - length(regexp_replace(text, '[^a-z ]', '',
+      |        'g'))) / CAST(length(text) AS DOUBLE) AS punct_ratio,
+      |      len(list_filter(w, t -> t IN ('der','die','und','das','the',
+      |        'a','and','of','el','la','los','de','le','les','et')))
+      |        / CAST(len(w) AS DOUBLE) AS stop_ratio
+      |    FROM (SELECT source, lang, text, string_split(text,' ') AS w
+      |          FROM documents)))
+      |SELECT source,
+      |  CAST(COUNT(*) AS INTEGER) AS n_docs,
+      |  CAST(COUNT(DISTINCT lang) AS INTEGER) AS n_langs,
+      |  CAST(SUM(n_tokens) AS BIGINT) AS tokens,
+      |  ROUND(CAST(SUM(qint) AS BIGINT) / (COUNT(*) * 10000.0), 4)
+      |    AS mean_quality,
+      |  ROUND(CAST(SUM(CASE WHEN qint >= 7000 THEN 1 ELSE 0 END)
+      |    AS BIGINT) / CAST(COUNT(*) AS DOUBLE), 4) AS hi_quality_frac
+      |FROM q GROUP BY source ORDER BY source""".stripMargin
+
   val q1Agg: String =
     """SELECT l_returnflag, l_linestatus,
       |  ROUND(SUM(l_quantity), 4) AS sum_qty,

@@ -88,6 +88,7 @@ object SparkEntry {
     "d_boiler_strip" -> (TextOps.boilerStrip _),
     "d_rep_signals" -> (TextOps.repSignals _),
     "d_redact" -> (TextOps.redact _),
+    "d_data_card" -> (TextOps.dataCard _),
     "e_knn_brute" -> ((s, dir) => Similarity.knnBrute(s, dir)),
     "e_centroids" -> (Similarity.centroids _),
     // gated on the LSH scale path; the oracle is the independent exact
@@ -286,6 +287,7 @@ object SparkEntry {
     "d_boiler_strip" -> Oracles.boilerStrip,
     "d_rep_signals" -> Oracles.repSignals,
     "d_redact" -> Oracles.redact,
+    "d_data_card" -> Oracles.dataCard,
     "e_knn_brute" -> Oracles.knnBrute,
     "e_centroids" -> Oracles.centroids,
     "e_cosine_dups" -> Oracles.cosineDups,

@@ -416,6 +416,40 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Data card: the per-source corpus datasheet published alongside a
+    * training set — doc/language/token counts, mean quality, and the
+    * high-quality share. One staged scan projection plus one agg whose
+    * group count is the number of SOURCES (metadata-scale). Quality is
+    * ×10000 integer-quantized before averaging, so the mean is exact
+    * integer arithmetic in any engine (float summation order would
+    * otherwise make two engines disagree in the last digits).
+    */
+  def dataCard(s: SparkSession, dir: String): DataFrame = {
+    val staged = Tables.documents(s, dir)
+      .select(col("source"), col("lang"), col("text"),
+        split(col("text"), " ").as("w"))
+      .select(col("source"), col("lang"),
+        size(col("w")).as("n_tok"),
+        length(col("text")).as("n_char"),
+        (length(col("text")) -
+          length(regexp_replace(col("text"), "[^a-z ]", "")))
+          .as("non_alpha"),
+        stopwordCount(col("w"), Stopwords.flatMap(_._2).distinct)
+          .as("stops"))
+    val scored = staged.select(col("source"), col("lang"), col("n_tok"),
+      round(qualityScoreFromSignals(col("n_tok"), col("n_char"),
+        col("non_alpha"), col("stops")) * 10000).cast("long").as("qint"))
+    scored.groupBy(col("source"))
+      .agg(count(lit(1)).cast("int").as("n_docs"),
+        countDistinct(col("lang")).cast("int").as("n_langs"),
+        sum(col("n_tok")).as("tokens"),
+        round(sum(col("qint")) / (count(lit(1)) * 10000.0), 4)
+          .as("mean_quality"),
+        round(sum(when(col("qint") >= 7000, 1L).otherwise(0L)) /
+          count(lit(1)).cast("double"), 4).as("hi_quality_frac"))
+      .orderBy(col("source"))
+  }
+
   /** Boilerplate document-frequency threshold for [[boilerStrip]]:
     * a chunk digest held by more than this many DISTINCT docs is
     * corpus furniture (headers, license text, nav bars), not document
