@@ -798,3 +798,65 @@ object ProbeR5 {
     spark.stop()
   }
 }
+
+/** Round-5 probe: d_boiler_strip references the chunk projection from
+  * THREE consumers (df agg, anti-join probe, per-doc totals) — is a
+  * persisted chunk frame (narrow: doc_id + idx + 16-byte digest, a few
+  * percent of the text size) worth the cache?
+  */
+object ProbeR5b {
+  import org.apache.spark.sql.{DataFrame, SparkSession}
+  import org.apache.spark.sql.functions._
+  import org.apache.spark.storage.StorageLevel
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    def stagedStrip(): DataFrame = {
+      val docs = graft.operators.Dedup.corpus(spark, dir)
+      val ch = graft.operators.TextOps.contentChunksOf(docs)
+        .select(col("doc_id"), col("chunk_idx"), col("chunk_hash"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      ch.count() // materialize once; consumers read cache
+      val hot = ch.groupBy(col("chunk_hash"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+        .filter(col("df") > graft.operators.TextOps.BoilerDf)
+        .select(col("chunk_hash"))
+      val kept = ch.join(hot, Seq("chunk_hash"), "left_anti")
+      val tot = ch.groupBy(col("doc_id")).agg(count(lit(1)).as("n_chunks"))
+      val keptAgg = kept.groupBy(col("doc_id")).agg(
+        count(lit(1)).as("kept_chunks"),
+        md5(concat_ws("", transform(
+          array_sort(collect_list(struct(col("chunk_idx"),
+            col("chunk_hash")))),
+          c => c.getField("chunk_hash")))).as("clean_digest"))
+      val out = tot.join(keptAgg, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          col("n_chunks").cast("int").as("n_chunks"),
+          coalesce(col("kept_chunks"), lit(0L)).cast("int")
+            .as("kept_chunks"),
+          coalesce(col("clean_digest"), md5(lit(""))).as("clean_digest"))
+      out.queryExecution.toRdd.count() // force
+      ch.unpersist(blocking = true)
+      out
+    }
+    def plainStrip(): Unit =
+      graft.operators.TextOps.boilerStrip(spark, dir)
+        .queryExecution.toRdd.count(): Unit
+
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime; f; (System.nanoTime - t0) / 1e9
+    }
+    time(plainStrip()); time(stagedStrip()) // warm
+    val plain = (1 to 3).map(_ => time(plainStrip())).min
+    val staged = (1 to 3).map(_ => time { stagedStrip(): Unit }).min
+    println(f"[prober5b] plain(3-scan) $plain%6.2f s   staged(persist) $staged%6.2f s")
+    spark.stop()
+  }
+}
