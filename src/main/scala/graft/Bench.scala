@@ -82,10 +82,20 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ > 0).sum + valSec
-    println(s"""{"metric":"validated docs/sec","value":$docsPerSec,""" +
+    val line = s"""{"metric":"validated docs/sec","value":$docsPerSec,""" +
       s""""unit":"docs/sec","total_sec":$total,""" +
       s""""flagship_docs":$nDocs,"flagship_sec":$valSec,""" +
-      s""""queries":$qs,"sf":"$sfDir","cpus":$cpus}""")
+      s""""queries":$qs,"sf":"$sfDir","cpus":$cpus}"""
+    println(line)
+    // ALSO write the record to a file: the driver captures a bounded
+    // log tail, and the r5 record lost its headline + first six query
+    // timings to that truncation (VERDICT r5 wrongness #3) — the file
+    // is the self-contained machine-readable artifact
+    val outPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench_summary.json"))
+    Option(outPath.getParent).foreach(java.nio.file.Files.createDirectories(_))
+    java.nio.file.Files.write(outPath,
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }

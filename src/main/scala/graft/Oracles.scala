@@ -328,6 +328,32 @@ object Oracles {
       |WHERE id_a < 1000000 AND id_b >= 1000000
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** [[corpusCte]] extended with the append-loop fixture's +5e6 family
+    * (near-dups of batch A's +2e6 docs — see `Dedup.loopBatchB`).
+    */
+  private val corpusLoopCte: String = corpusCte.stripSuffix(")") +
+    """  UNION ALL
+      |  SELECT doc_id + 5000000, text || ' zzz zzz www' FROM documents
+      |  WHERE doc_id%50 = 25
+      |)""".stripMargin
+
+  /** Mirrors Dedup.incrDedup2 from the full recompute: batch 1 must
+    * equal the exact cross pairs (documents, A) and batch 2 the exact
+    * cross pairs (documents ∪ A, B) — in particular the (A's +2e6,
+    * B's +5e6) pairs that only exist if the appended batch-A keys are
+    * live in the index. jp orders id_a < id_b and the id ranges are
+    * disjoint and increasing, so the range filters select exactly the
+    * cross sets.
+    */
+  val incrDedup2: String = corpusLoopCte + "\n" + jaccardCtes +
+    """
+      |SELECT 1 AS batch, id_a, id_b, jaccard FROM jp
+      |WHERE id_a < 1000000 AND id_b >= 1000000 AND id_b < 3000000
+      |UNION ALL
+      |SELECT 2 AS batch, id_a, id_b, jaccard FROM jp
+      |WHERE id_a < 3000000 AND id_b >= 3000000
+      |ORDER BY batch, id_a, id_b""".stripMargin
+
   /** Mirrors Clusters.keepQuality: the same recursive component closure
     * as [[dupClusters]], joined with the quality composite over the
     * corpus, keep = the best-quality member per cluster (row_number
@@ -1164,9 +1190,9 @@ object Oracles {
       |    CAST(len(string_split(text,' ')) AS BIGINT) AS toks
       |  FROM documents)
       |SELECT doc_id, toks,
-      |  CAST(FLOOR(COALESCE(SUM(toks) OVER (ORDER BY doc_id
+      |  CAST(COALESCE(SUM(toks) OVER (ORDER BY doc_id
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-      |    / 512.0) AS BIGINT) AS shard_id
+      |    // 512 AS BIGINT) AS shard_id
       |FROM t ORDER BY doc_id""".stripMargin
 
   /** Mirrors [[graft.operators.Mix.trainOrder]] with the single-window
@@ -1400,6 +1426,23 @@ object Oracles {
       |FROM w LEFT JOIN e ON e.us >= w.ws AND e.us < w.we
       |GROUP BY w.window_id
       |ORDER BY w.window_id""".stripMargin
+
+  /** Mirrors [[graft.operators.Relational.attribution]] with the plain
+    * inequality join the bucketized equi-join + residual filter must
+    * equal exactly (µs integers on both sides).
+    */
+  val attribution: String =
+    """WITH imp AS (
+      |  SELECT user_id, event_id AS imp_id, epoch_us(ts) AS imp_us
+      |  FROM events WHERE event_type = 'view'),
+      |clk AS (
+      |  SELECT user_id, event_id AS click_id, epoch_us(ts) AS click_us
+      |  FROM events WHERE event_type = 'click')
+      |SELECT i.user_id, imp_id, click_id, imp_us, click_us
+      |FROM imp i JOIN clk c ON i.user_id = c.user_id
+      |  AND c.click_us >= i.imp_us
+      |  AND c.click_us <= i.imp_us + 21600000000
+      |ORDER BY i.user_id, imp_id, click_id""".stripMargin
 
   /** Mirrors [[graft.operators.Relational.pivotEvents]] as the
     * conditional aggregation a pivot lowers to.

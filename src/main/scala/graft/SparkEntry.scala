@@ -61,6 +61,7 @@ object SparkEntry {
     "q21_sessions" -> (Relational.sessionize _),
     "q22_range_join" -> (Relational.rangeJoin _),
     "q23_pivot" -> (Relational.pivotEvents _),
+    "q24_attribution" -> (Relational.attribution _),
 
     // ---- training-data pipeline ops ---------------------------------------
     "d_dedup_exact" -> (Dedup.exactDuplicates _),
@@ -78,7 +79,16 @@ object SparkEntry {
     "d_keep_sweep" -> (graft.operators.Clusters.keepSweep _),
     "d_decontam" -> ((s, dir) => Dedup.decontam(s, dir)),
     "d_incr_dedup" -> (Dedup.incrDedup _),
+    "d_incr_dedup2" -> (Dedup.incrDedup2 _),
     "d_keep_quality" -> (graft.operators.Clusters.keepQuality _),
+    // the stored-table production twins: sweeps from the persisted
+    // pair-edge / chunk tables, gated against the SAME oracles as their
+    // recompute forms (VERDICT r5 next-round 1+2)
+    "d_clusters_stored" -> (graft.operators.Clusters.dupClustersStored _),
+    "d_keep_quality_stored" ->
+      (graft.operators.Clusters.keepQualityStored _),
+    "d_keep_sweep_stored" -> (graft.operators.Clusters.keepSweepStored _),
+    "d_boiler_stored" -> (TextOps.boilerStripStored _),
     "d_sample_mix" -> (Mix.sampleMix _),
     "d_pack_shards" -> ((s, dir) => Mix.packShards(s, dir)),
     "d_train_order" -> (Mix.trainOrder _),
@@ -277,7 +287,12 @@ object SparkEntry {
     "d_keep_sweep" -> Oracles.keepSweep,
     "d_decontam" -> Oracles.decontam,
     "d_incr_dedup" -> Oracles.incrDedup,
+    "d_incr_dedup2" -> Oracles.incrDedup2,
     "d_keep_quality" -> Oracles.keepQuality,
+    "d_clusters_stored" -> Oracles.dupClusters,
+    "d_keep_quality_stored" -> Oracles.keepQuality,
+    "d_keep_sweep_stored" -> Oracles.keepSweep,
+    "d_boiler_stored" -> Oracles.boilerStrip,
     "d_sample_mix" -> Oracles.sampleMix,
     "d_pack_shards" -> Oracles.packShards,
     "d_train_order" -> Oracles.trainOrder,
@@ -314,6 +329,7 @@ object SparkEntry {
     "q21_sessions" -> Oracles.sessionize,
     "q22_range_join" -> Oracles.rangeJoin,
     "q23_pivot" -> Oracles.pivotEvents,
+    "q24_attribution" -> Oracles.attribution,
     "v_json_schema" -> Oracles.jsonSchema,
     "v_json_schema2" -> Oracles.jsonSchema2,
     "v_snapshot_diff" -> Oracles.snapshotDiff,

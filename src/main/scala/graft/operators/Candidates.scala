@@ -84,6 +84,33 @@ object Candidates {
   def hintIfSmall(df: DataFrame, rows: Long, maxRows: Long): DataFrame =
     if (rows <= gateOverride.getOrElse(maxRows)) broadcast(df) else df
 
+  /** Read a [[stage]]d frame's observed gate count WITHOUT risking an
+    * indefinite block. The staged-count pattern relies on an ordering
+    * contract — some downstream action must execute the observed
+    * subtree before the count is read; `Observation.get` would hang
+    * silently forever if a refactor reordered the consumers (ADVICE r5).
+    * This polls the bounded accessor until `timeoutMs`, then falls back
+    * to counting the staged frame directly — which executes (and caches)
+    * it, so a violated ordering degrades to one extra pass and a loud
+    * warning instead of a hang.
+    */
+  def observedCount(obs: org.apache.spark.sql.Observation,
+      staged: DataFrame, timeoutMs: Long = 30000L): Long = {
+    val deadline = System.nanoTime() + timeoutMs * 1000000L
+    def poll() = // waits up to ~100 ms per call
+      org.apache.spark.sql.GraftBridge.observationOrEmpty(obs)
+    var m = poll()
+    while (m.isEmpty && System.nanoTime() < deadline) m = poll()
+    m.get("n") match {
+      case Some(n) => n.asInstanceOf[Long]
+      case None =>
+        System.err.println("[candidates] WARN observed gate count not " +
+          "delivered within timeout; counting the staged frame directly " +
+          "(an upstream consumer-ordering contract was violated)")
+        staged.count()
+    }
+  }
+
   /** Unpersist every candidate frame cached since the last call.
     * Harnesses (Verify, Bench, specs) call this between queries so
     * long-lived sessions don't accumulate cached blocks — and so a

@@ -131,8 +131,12 @@ object Mix {
         (col("bucket_offset") + sum(col("toks")).over(local) -
           col("toks")).as("prefix_toks"))
       .select(col("doc_id"), col("toks"),
-        floor(col("prefix_toks") / lit(budget.toDouble)).cast("long")
-          .as("shard_id"))
+        // integer division, not floor(double-quotient): with an
+        // arbitrary budget a correctly-rounded double quotient landing
+        // exactly on an integer can misassign the boundary doc by one
+        // shard (ADVICE r5); prefix sums are non-negative so `div` (a
+        // long integral division) IS the floor, exact at any budget
+        expr(s"prefix_toks div ${budget}L").as("shard_id"))
       .orderBy(col("doc_id"))
   }
 

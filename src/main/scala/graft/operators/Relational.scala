@@ -386,6 +386,52 @@ object Relational {
       .orderBy(col("window_id"))
   }
 
+  /** Attribution window for [[attribution]] in microseconds (6 h — wide
+    * enough for real matches at fixture event density). Integer µs so
+    * the match decision is the same exact comparison in any engine.
+    */
+  val AttribWindowUs = 6L * HourUs
+
+  /** Batch attribution join — each click matched to the same user's
+    * impressions in the preceding [[AttribWindowUs]] window: the BATCH
+    * twin of [[graft.streaming.StreamOps.attributionJoin]] (StreamingSpec
+    * asserts stream ≡ batch), and the interval-join shape ad pipelines
+    * run at 100 TB. The naive `click ∈ [imp, imp+W]` predicate is
+    * non-equi — Spark plans a per-user nested loop, quadratic on hot
+    * users. Scale form (the [[rangeJoin]] bucketize pattern): bucket
+    * time at the window grain, explode each IMPRESSION into its two
+    * covering buckets (a click ≤ W after it lies in the impression's
+    * bucket or the next — exactly 2, no data-dependent fan-out), equi-
+    * join on (user, bucket), then the exact window as a residual
+    * filter. A (imp, click) pair can match in at most one bucket (the
+    * click's bucket is unique), so no dedup pass is needed. All µs
+    * integers; impressions = view events, clicks = click events.
+    */
+  def attribution(s: SparkSession, dir: String): DataFrame =
+    attributionOf(Tables.events(s, dir))
+
+  /** [[attribution]] over any events frame. */
+  def attributionOf(e: DataFrame): DataFrame = {
+    val imp = e.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("imp_id"),
+        unix_micros(col("ts").cast("timestamp")).as("imp_us"))
+    val clk = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        unix_micros(col("ts").cast("timestamp")).as("click_us"))
+    val impB = imp.withColumn("b0",
+        floor(col("imp_us") / lit(AttribWindowUs)))
+      .select(col("user_id"), col("imp_id"), col("imp_us"),
+        explode(array(col("b0"), col("b0") + 1)).as("bucket"))
+    val clkB = clk.withColumn("bucket",
+      floor(col("click_us") / lit(AttribWindowUs)))
+    impB.join(clkB, Seq("user_id", "bucket"))
+      .filter(col("click_us") >= col("imp_us") &&
+        col("click_us") <= col("imp_us") + lit(AttribWindowUs))
+      .select(col("user_id"), col("imp_id"), col("click_id"),
+        col("imp_us"), col("click_us"))
+      .orderBy(col("user_id"), col("imp_id"), col("click_id"))
+  }
+
   /** Pivot: per-user event-type counts as columns. The value list is
     * EXPLICIT — `pivot(col)` without one runs a driver-side distinct
     * job over the full table first and caps at

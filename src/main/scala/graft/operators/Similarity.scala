@@ -234,7 +234,7 @@ object Similarity {
     val (candIds, nIds) = Candidates.materialize(cand
       .select(explode(array(col("id_a"), col("id_b"))).as("vec_id"))
       .distinct())
-    val nCand = obs.get("n").asInstanceOf[Long]
+    val nCand = Candidates.observedCount(obs, cand)
     val (cPruned, nPruned) = Candidates.materialize(
       c.join(Candidates.hintIfSmall(candIds, nIds,
         Candidates.IdPairRowGate), Seq("vec_id"), "left_semi"))
@@ -320,7 +320,7 @@ object Similarity {
       rawCand.observe(candObs, count(lit(1)).as("n")))
     val (oldIds, nOld) = Candidates.materialize(
       cand.select(col("id_a").as("vec_id")).distinct())
-    val nCand = candObs.get("n").asInstanceOf[Long]
+    val nCand = Candidates.observedCount(candObs, cand)
     val obs = org.apache.spark.sql.Observation()
     val (oldE, nOldE) = Candidates.materialize(corpusEmb
       .join(Candidates.hintIfSmall(oldIds, nOld,

@@ -26,4 +26,11 @@ object GraftBridge {
           df.sparkSession.asInstanceOf[classic.SparkSession], s.child)
       case _ => df
     }
+
+  /** Bounded (~100 ms) non-throwing read of an Observation's metrics —
+    * `getOrEmpty` is private[sql]; the gate-count helper polls this
+    * instead of blocking forever on `get` (ADVICE r5).
+    */
+  def observationOrEmpty(obs: Observation): Map[String, Any] =
+    obs.getOrEmpty
 }

@@ -210,6 +210,42 @@ class IncrementalSpec extends SparkSpec {
     Candidates.releaseAll(blocking = true)
   }
 
+  test("the append loop's batch-B dedup re-shingles only candidates " +
+      "matched against corpus ∪ A — day-2 work is batch-bounded") {
+    val docsT = Tables.documents(spark, dir01)
+    val corpusText = docsT.select(col("doc_id"), col("text"))
+    val path = Dedup.sigTablePath(dir01) + "-loop-spec"
+    Dedup.writeSignatureTable(corpusText, path)
+    val a = graft.data.Interleaved.spread(
+      Dedup.loopBatchA(spark, dir01), docsT)
+    // day 1: dedup A, then fold A's keys into the index (batch-sized)
+    Dedup.incrementalDedup(spark, a, corpusText, path)._1.count()
+    Candidates.releaseAll(blocking = true)
+    Dedup.appendSignatures(a, path)
+    val unionText = corpusText.unionAll(Dedup.loopBatchA(spark, dir01))
+    val nUnion = unionText.count()
+    val b = graft.data.Interleaved.spread(
+      Dedup.loopBatchB(spark, dir01), docsT)
+    val (out, obs) = Dedup.incrementalDedup(spark, b, unionText, path)
+    val rows = out.as[(Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    // the pairs against batch A itself exist — the append was
+    // load-bearing, not decorative
+    assert(rows.exists(r => r._1 >= 2000000L && r._1 < 3000000L),
+      "no B-vs-A pairs: the appended keys were not consulted")
+    // independent candidate bound recomputed from the stored keys
+    val batchKeys = Dedup.bandKeysOf(b)
+      .select(col("doc_id").as("new_id"), col("bh"))
+    val nMatched = spark.read.parquet(path).join(batchKeys, Seq("bh"))
+      .select("doc_id").distinct().count()
+    val reshingled = obs.get("n_reshingled").asInstanceOf[Long]
+    assert(reshingled === nMatched,
+      s"re-shingled $reshingled, matched candidates $nMatched")
+    assert(reshingled < nUnion / 2,
+      s"re-shingled $reshingled of $nUnion corpus∪A docs — not batch-bounded")
+    Candidates.releaseAll(blocking = true)
+  }
+
   test("connected components: empty edge set returns an empty frame " +
       "(ADVICE r4 — no NPE on the null convergence signal)") {
     val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")

@@ -113,6 +113,36 @@ class PlanSpec extends SparkSpec {
     assert(q8.contains("TakeOrderedAndProject"), q8.take(400))
   }
 
+  test("stored-table sweeps scan only the persisted parquet — the " +
+      "MinHash and chunking pipelines are absent from the stored plans") {
+    import graft.operators.{Clusters, TextOps}
+    val edges = Clusters.storedPairEdges(spark, dir)
+    assert(edges.inputFiles.nonEmpty &&
+      edges.inputFiles.forall(_.contains("-edges")),
+      edges.inputFiles.take(3).mkString(", "))
+    val es = edges.queryExecution.optimizedPlan.toString.toLowerCase
+    for (node <- Seq("minhash", "xxhash", "split", "explode"))
+      assert(!es.contains(node), s"stored edge plan contains $node:\n$es")
+    // the chunk-granularity sweep edges derive from the stored chunk
+    // table: no re-chunking (md5 windows), no words split, no explode
+    val chunkEdges = TextOps.chunkDupsFromChunks(
+      TextOps.storedChunks(spark, dir))
+    assert(chunkEdges.inputFiles.nonEmpty &&
+      chunkEdges.inputFiles.forall(_.contains("-chunks")),
+      chunkEdges.inputFiles.take(3).mkString(", "))
+    val cs = chunkEdges.queryExecution.optimizedPlan.toString.toLowerCase
+    for (node <- Seq("md5", "split", "posexplode"))
+      assert(!cs.contains(node),
+        s"stored chunk-dup plan contains $node:\n$cs")
+  }
+
+  test("attribution equi-joins on (user, bucket) — never a nested loop") {
+    val p = staticPlan(Relational.attribution(spark, dir)).toString
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"),
+      p.take(600))
+    assert(p.contains("Join"), p.take(400))
+  }
+
   test("catalog routing is shuffle-free (broadcast patterns, no exchange)") {
     val plan = physical(graft.rules.Catalog.catalogMatch(
       graft.rules.Catalog.docPaths(spark, dir)))

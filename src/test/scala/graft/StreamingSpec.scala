@@ -313,4 +313,37 @@ class StreamingSpec extends SparkSpec {
       assert(got == Set((100L, 900L), (101L, 901L)), got.toString)
     } finally q.stop()
   }
+
+  test("batch attribution (bucketized range join) equals the " +
+      "stream-stream attribution join on the real events fixture") {
+    implicit val ctx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val e = Tables.events(spark, dir).select(col("user_id"),
+      col("event_id"), col("event_type"), col("ts").cast("timestamp"))
+    val imps = e.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("imp_id"),
+        col("ts").as("imp_ts")).as[StreamOps.Impression].collect()
+    val clks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts")).as[StreamOps.Click].collect()
+    val impS = MemoryStream[StreamOps.Impression]
+    val clkS = MemoryStream[StreamOps.Click]
+    val out = StreamOps.attributionJoin(impS.toDF(), clkS.toDF(),
+      window = "6 hours", watermark = "12 hours")
+    val q = out.writeStream.format("memory").queryName("attrib_eq")
+      .outputMode("append").start()
+    try {
+      impS.addData(imps.toSeq: _*)
+      clkS.addData(clks.toSeq: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("attrib_eq")
+        .select("user_id", "imp_id", "click_id")
+        .as[(Long, Long, Long)].collect().toSet
+      val batch = Relational.attribution(spark, dir)
+        .select("user_id", "imp_id", "click_id")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(batch.nonEmpty)
+      assert(streamed === batch)
+    } finally q.stop()
+  }
 }
