@@ -491,12 +491,15 @@ object Oracles {
       |ORDER BY doc_id""".stripMargin
 
   val tokenCounts: String =
-    """SELECT doc_id,
-      |  CAST(len(string_split(text,' ')) AS INTEGER) AS ws_tokens,
-      |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS INTEGER)
-      |    AS regex_tokens,
-      |  CAST(ceil(length(text)/4.0) AS BIGINT) AS bpe_est
-      |FROM documents ORDER BY doc_id""".stripMargin
+    s"""SELECT doc_id,
+       |  CAST(len(string_split(text,' ')) AS INTEGER) AS ws_tokens,
+       |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS INTEGER)
+       |    AS regex_tokens,
+       |  CAST(len(regexp_extract_all(text,
+       |    '${graft.operators.TextOps.SubwordPattern}')) AS INTEGER)
+       |    AS subword_tokens,
+       |  CAST(ceil(length(text)/4.0) AS BIGINT) AS bpe_est
+       |FROM documents ORDER BY doc_id""".stripMargin
 
   val fingerprints: String =
     """SELECT doc_id,
@@ -622,27 +625,63 @@ object Oracles {
 
   /** Mirrors Similarity.knnIvf: same deterministic sampled codebook
     * (vec_id ≡ 7 mod 31, first IvfCells by vec_id — regenerated from the
-    * same embeddings table), same integer-quantized cosine for cell
-    * assignment (exact integer dot products → identical in both
-    * engines), same nprobe cells per query, same exact-cosine re-rank.
+    * same embeddings table), then the SAME one-step Lloyd refinement
+    * (nearest-cell assignment by integer-quantized cosine, per-(cell,
+    * dim) mean as floor(exact-integer-sum / n) — every arithmetic step
+    * identical in both engines, so the refined codebooks are equal
+    * value-for-value), same 2-way assignment, same nprobe cells per
+    * query, same exact-cosine re-rank.
     */
   val knnIvf: String = {
     import graft.operators.Similarity.{IvfCells, IvfProbe, IvfAssign,
       IvfCentroidMod}
-    s"""WITH cent AS (
+    s"""WITH cent0 AS (
        |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell,
-       |    list_transform(embedding::DOUBLE[], x -> FLOOR(x*4096)) AS cq
+       |    list_transform(embedding::DOUBLE[],
+       |      x -> CAST(FLOOR(x*4096) AS BIGINT)) AS cq
        |  FROM embeddings WHERE vec_id % $IvfCentroidMod = 7
        |  ORDER BY vec_id LIMIT $IvfCells),
        |vecq AS (
        |  SELECT vec_id,
        |    list_transform(embedding::DOUBLE[], x -> FLOOR(x*4096)) AS vq
        |  FROM embeddings),
+       |scores0 AS (
+       |  SELECT v.vec_id, c.cell,
+       |    list_dot_product(v.vq, list_transform(c.cq,
+       |      x -> CAST(x AS DOUBLE))) /
+       |      (sqrt(list_dot_product(v.vq, v.vq)) *
+       |       sqrt(list_dot_product(list_transform(c.cq,
+       |         x -> CAST(x AS DOUBLE)), list_transform(c.cq,
+       |         x -> CAST(x AS DOUBLE))))) AS score
+       |  FROM vecq v, cent0 c),
+       |assign1 AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |      ORDER BY score DESC, cell) AS rn FROM scores0)
+       |  WHERE rn = 1),
+       |elem AS (
+       |  SELECT a.cell, unnest(v.vq) AS qv,
+       |    unnest(generate_series(1, len(v.vq))) AS pos
+       |  FROM assign1 a JOIN vecq v USING (vec_id)),
+       |rmean AS (
+       |  SELECT cell, pos,
+       |    CAST(FLOOR(CAST(SUM(CAST(qv AS BIGINT)) AS DOUBLE) / COUNT(*))
+       |      AS BIGINT) AS cq1
+       |  FROM elem GROUP BY cell, pos),
+       |rlist AS (
+       |  SELECT cell, list(cq1 ORDER BY pos) AS cq FROM rmean
+       |  GROUP BY cell),
+       |cent AS (
+       |  SELECT c0.cell, COALESCE(r.cq, c0.cq) AS cq
+       |  FROM cent0 c0 LEFT JOIN rlist r USING (cell)),
        |scores AS (
        |  SELECT v.vec_id, c.cell,
-       |    list_dot_product(v.vq, c.cq) /
+       |    list_dot_product(v.vq, list_transform(c.cq,
+       |      x -> CAST(x AS DOUBLE))) /
        |      (sqrt(list_dot_product(v.vq, v.vq)) *
-       |       sqrt(list_dot_product(c.cq, c.cq))) AS score
+       |       sqrt(list_dot_product(list_transform(c.cq,
+       |         x -> CAST(x AS DOUBLE)), list_transform(c.cq,
+       |         x -> CAST(x AS DOUBLE))))) AS score
        |  FROM vecq v, cent c),
        |assign AS (
        |  SELECT vec_id, cell FROM (
@@ -1182,18 +1221,21 @@ object Oracles {
 
   /** Mirrors [[graft.operators.Mix.packShards]] with the sequential
     * prefix-sum form the distributed two-level version must equal:
-    * shard_id = floor(exclusive running token total / budget).
+    * shard_id = exclusive running subword-token total `div` budget
+    * (integer division — exact at any budget, ADVICE r5).
     */
   val packShards: String =
-    """WITH t AS (
-      |  SELECT doc_id,
-      |    CAST(len(string_split(text,' ')) AS BIGINT) AS toks
-      |  FROM documents)
-      |SELECT doc_id, toks,
-      |  CAST(COALESCE(SUM(toks) OVER (ORDER BY doc_id
-      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-      |    // 512 AS BIGINT) AS shard_id
-      |FROM t ORDER BY doc_id""".stripMargin
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    CAST(len(regexp_extract_all(text,
+       |      '${graft.operators.TextOps.SubwordPattern}')) AS BIGINT)
+       |      AS toks
+       |  FROM documents)
+       |SELECT doc_id, toks,
+       |  CAST(COALESCE(SUM(toks) OVER (ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |    // ${graft.operators.Mix.ShardBudget} AS BIGINT) AS shard_id
+       |FROM t ORDER BY doc_id""".stripMargin
 
   /** Mirrors [[graft.operators.Mix.trainOrder]] with the single-window
     * sequential form the two-level distributed position assignment

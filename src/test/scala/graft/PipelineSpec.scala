@@ -9,14 +9,17 @@ import graft.operators.{Dedup, Mix, Multimodal, Similarity, TextOps}
   * against analytic expectations of the injected fixtures.
   */
 object PipelineSpec {
-  /** Measured IVF recall@3 at sf0.01 (16 cells, 2-way assignment,
-    * nprobe 4) — pinned exactly, deterministic codebook; update
-    * deliberately if the codebook parameters change. Single assignment
+  /** Measured IVF recall@3 at sf0.01 (16 cells, one Lloyd refinement of
+    * the sampled codebook, 2-way assignment, nprobe 4) — pinned exactly,
+    * deterministic codebook; update deliberately if the codebook
+    * parameters change. History: single assignment on the RAW sample
     * measured only 0.5-0.6 on this isotropic corpus (neighbors scatter
-    * across thin Voronoi cells); 2-way assignment is the IVF analogue
-    * of LSH's multi-table redundancy.
+    * across thin Voronoi cells); 2-way assignment (LSH's multi-table
+    * redundancy, IVF flavor) lifted it to 23/30; the Lloyd step
+    * (VERDICT r5 next-round 6, target ≥ 0.85) re-centers the cells on
+    * the actual data and lifts it to 28/30 at the same probe budget.
     */
-  val IvfRecall = 23.0 / 30
+  val IvfRecall = 28.0 / 30
 }
 
 class PipelineSpec extends SparkSpec {
