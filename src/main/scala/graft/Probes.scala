@@ -860,3 +860,76 @@ object ProbeR5b {
     spark.stop()
   }
 }
+
+/** Round-6 probe (VERDICT r5 next-round 4): per-stage shuffle bytes and
+  * wall-time for Job C (the MinHash banding pipeline), so the banding
+  * stage's data rate can sit beside the box's measured DRAM bandwidth
+  * (tools/MemBw.java) as a number, not an inference. Run pinned in its
+  * own JVM, like scripts/scaling-two-process.sh:
+  *   taskset -c 0-7  java ... graft.ProbeJobCBytes 8
+  *   taskset -c 0-31 java ... graft.ProbeJobCBytes 32
+  * Prints one JSON line per stage of the timed rep (warm-up rep's
+  * stages are dropped) with shuffle read/write + input bytes and the
+  * stage wall, then a total line.
+  */
+object ProbeJobCBytes {
+  def main(args: Array[String]): Unit = {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+    val cpus = args(0).toInt
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val mReplicas =
+      sys.env.getOrElse("SPARK_GRAFT_MINHASH_REPLICAS", "400").toInt
+    val path = BenchData.ensureTextCorpus(spark, dir, mReplicas)
+    val corpus = spark.read.parquet(path)
+    val n = corpus.count()
+
+    case class St(id: Int, name: String, wallMs: Long, inB: Long,
+      swB: Long, srB: Long, recs: Long)
+    val stages = scala.collection.mutable.ArrayBuffer.empty[St]
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(
+          e: SparkListenerStageCompleted): Unit = {
+        val si = e.stageInfo
+        val m = si.taskMetrics
+        val wall = (for {a <- si.submissionTime; b <- si.completionTime}
+          yield b - a).getOrElse(0L)
+        stages.synchronized { stages += St(si.stageId,
+          si.name.takeWhile(_ != '\n').take(60), wall,
+          m.inputMetrics.bytesRead, m.shuffleWriteMetrics.bytesWritten,
+          m.shuffleReadMetrics.totalBytesRead,
+          m.shuffleWriteMetrics.recordsWritten) }
+      }
+    })
+
+    def rep(): Double = {
+      graft.operators.Candidates.releaseAll(blocking = true)
+      Bench.time(Bench.exec(
+        graft.operators.Dedup.minhashCandidatesOf(corpus)))
+    }
+    rep() // warm-up: codegen + JIT; its stages are discarded below
+    stages.synchronized(stages.clear())
+    val sec = rep()
+    Thread.sleep(500) // let the last stage-completed events drain
+    val snap = stages.synchronized(stages.toList).sortBy(-_.swB)
+    snap.foreach { s =>
+      println(s"""{"probe":"jobc_stage","cpus":$cpus,"stage":${s.id},""" +
+        s""""name":"${s.name}","wall_s":${s.wallMs / 1000.0},""" +
+        s""""input_mb":${s.inB / 1e6},"shuf_write_mb":${s.swB / 1e6},""" +
+        s""""shuf_read_mb":${s.srB / 1e6},"shuf_write_recs":${s.recs}}""")
+    }
+    val (tw, tr, ti) = (snap.map(_.swB).sum, snap.map(_.srB).sum,
+      snap.map(_.inB).sum)
+    println(s"""{"probe":"jobc_total","cpus":$cpus,"docs":$n,""" +
+      s""""sec":$sec,"input_mb":${ti / 1e6},""" +
+      s""""shuf_write_mb":${tw / 1e6},"shuf_read_mb":${tr / 1e6},""" +
+      s""""docs_per_sec":${math.rint(n / sec)}}""")
+    spark.stop()
+  }
+}
