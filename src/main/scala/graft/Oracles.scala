@@ -632,10 +632,13 @@ object Oracles {
     * value-for-value), same 2-way assignment, same nprobe cells per
     * query, same exact-cosine re-rank.
     */
-  val knnIvf: String = {
-    import graft.operators.Similarity.{IvfCells, IvfProbe, IvfAssign,
-      IvfCentroidMod}
-    s"""WITH cent0 AS (
+  /** The Lloyd-refined codebook as a reusable CTE chain (ending in
+    * `cent(cell, cq)`) — shared verbatim by [[knnIvf]] and [[semDedup]]
+    * so both mirror the ONE codebook `ivfCentroidsRefined` builds.
+    */
+  private def refinedCentCtes: String = {
+    import graft.operators.Similarity.{IvfCells, IvfCentroidMod}
+    s"""cent0 AS (
        |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell,
        |    list_transform(embedding::DOUBLE[],
        |      x -> CAST(FLOOR(x*4096) AS BIGINT)) AS cq
@@ -673,7 +676,13 @@ object Oracles {
        |  GROUP BY cell),
        |cent AS (
        |  SELECT c0.cell, COALESCE(r.cq, c0.cq) AS cq
-       |  FROM cent0 c0 LEFT JOIN rlist r USING (cell)),
+       |  FROM cent0 c0 LEFT JOIN rlist r USING (cell))""".stripMargin
+  }
+
+  val knnIvf: String = {
+    import graft.operators.Similarity.{IvfCells, IvfProbe, IvfAssign,
+      IvfCentroidMod}
+    s"""WITH $refinedCentCtes,
        |scores AS (
        |  SELECT v.vec_id, c.cell,
        |    list_dot_product(v.vq, list_transform(c.cq,
@@ -709,6 +718,65 @@ object Oracles {
        |SELECT qid, vec_id, sim, rank FROM ranked WHERE rank <= 3
        |ORDER BY qid, rank""".stripMargin
   }
+
+  /** Mirrors Similarity.semDedup: the same Lloyd-refined codebook CTE
+    * chain as [[knnIvf]], the same perturbed dup corpus as
+    * [[cosineDups]], each dup vector 2-way assigned to its nearest
+    * cells by the same integer-quantized cosine (exact in both
+    * engines), pairs sharing any cell, exact double cosine ≥ threshold
+    * — within-shared-cell is the operator's definition (SemDeDup with
+    * the ANN index's multi-assignment), so this is an equality gate,
+    * not a recall statement.
+    */
+  val semDedup: String =
+    s"""WITH $refinedCentCtes,
+       |base AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |pert AS (
+       |  SELECT vec_id + 100000 AS vec_id,
+       |    list_transform(generate_series(1, len(e)),
+       |      i -> CASE WHEN i <= 8 THEN e[i]*0.5 ELSE e[i] END) AS e
+       |  FROM base WHERE vec_id%40 = 0),
+       |pert2 AS (
+       |  SELECT vec_id + 200000 AS vec_id,
+       |    list_transform(generate_series(1, len(e)),
+       |      i -> CASE WHEN i <= 16 THEN e[i]*0.25 ELSE e[i] END) AS e
+       |  FROM base WHERE vec_id%40 = 20),
+       |corpus AS (SELECT * FROM base UNION ALL SELECT * FROM pert
+       |           UNION ALL SELECT * FROM pert2),
+       |dq AS (
+       |  SELECT vec_id, e,
+       |    list_transform(e, x -> FLOOR(x*4096)) AS vq
+       |  FROM corpus),
+       |dscores AS (
+       |  SELECT d.vec_id, c.cell,
+       |    list_dot_product(d.vq, list_transform(c.cq,
+       |      x -> CAST(x AS DOUBLE))) /
+       |      (sqrt(list_dot_product(d.vq, d.vq)) *
+       |       sqrt(list_dot_product(list_transform(c.cq,
+       |         x -> CAST(x AS DOUBLE)), list_transform(c.cq,
+       |         x -> CAST(x AS DOUBLE))))) AS score
+       |  FROM dq d, cent c),
+       |dassign AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |      ORDER BY score DESC, cell) AS rn FROM dscores)
+       |  WHERE rn <= ${graft.operators.Similarity.IvfAssign}),
+       |pairs AS (
+       |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM dassign a JOIN dassign b
+       |    ON a.cell = b.cell AND a.vec_id < b.vec_id)
+       |SELECT p.id_a, p.id_b,
+       |  ROUND(list_dot_product(x.e, y.e) /
+       |    (sqrt(list_dot_product(x.e, x.e)) *
+       |     sqrt(list_dot_product(y.e, y.e))), 4) AS sim
+       |FROM pairs p
+       |JOIN corpus x ON x.vec_id = p.id_a
+       |JOIN corpus y ON y.vec_id = p.id_b
+       |WHERE ROUND(list_dot_product(x.e, y.e) /
+       |    (sqrt(list_dot_product(x.e, x.e)) *
+       |     sqrt(list_dot_product(y.e, y.e))), 4) >= 0.9
+       |ORDER BY id_a, id_b""".stripMargin
 
   /** Mirrors Similarity.cosineDups: same perturbed corpus (×0.5 on the
     * first 8 dims, ×0.25 on the first 16 for the mid-band class — both

@@ -107,6 +107,8 @@ object SparkEntry {
     "e_incr_dups" -> (Similarity.incrCosineDups _),
     "e_knn_lsh" -> ((s, dir) => Similarity.knnLsh(s, dir)),
     "e_knn_ivf" -> ((s, dir) => Similarity.knnIvf(s, dir)),
+    // SemDeDup: within-cell semantic dedup on the refined IVF codebook
+    "e_semdedup" -> ((s, dir) => Similarity.semDedup(s, dir)),
     "m_media_features" -> (Multimodal.mediaFeatures _),
     "m_doc_media" -> (Multimodal.docMediaProfile _),
     "m_resize" -> (Multimodal.resizePlan _),
@@ -309,6 +311,7 @@ object SparkEntry {
     "e_incr_dups" -> Oracles.cosineIncr,
     "e_knn_lsh" -> Oracles.knnLsh,
     "e_knn_ivf" -> Oracles.knnIvf,
+    "e_semdedup" -> Oracles.semDedup,
     "m_media_features" -> Oracles.mediaFeatures,
     "m_doc_media" -> Oracles.docMediaProfile,
     "m_resize" -> Oracles.mediaResize,

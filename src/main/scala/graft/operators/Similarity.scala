@@ -209,15 +209,26 @@ object Similarity {
         col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    // the re-attach is SIZE-GATED, never hint-forced: the pair set is
-    // STAGED (cached) with its count riding the pruned-embedding
-    // materialization below as an observe() metric — no dedicated count
-    // pass (VERDICT r4 wrongness #3) — and broadcasts only under the
-    // gate; an unconditional hint would force a broadcast of a
-    // data-dependent set that scales with the corpus duplicate rate
-    // (VERDICT r3 wrongness #2). Above the gate the joins degrade to
-    // candidate-bounded shuffles (production would bucket the embedding
-    // table by vec_id so only pair rows move).
+    verifyCosinePairs(c, rawCand, threshold)
+  }
+
+  /** Exact-cosine verification of a candidate pair set against a
+    * `(vec_id, e)` corpus — the shared tail of [[cosineDupsLsh]] and
+    * [[semDedup]] (pure code motion from the former; the staged/gated
+    * plan is unchanged).
+    *
+    * The re-attach is SIZE-GATED, never hint-forced: the pair set is
+    * STAGED (cached) with its count riding the pruned-embedding
+    * materialization below as an observe() metric — no dedicated count
+    * pass (VERDICT r4 wrongness #3) — and broadcasts only under the
+    * gate; an unconditional hint would force a broadcast of a
+    * data-dependent set that scales with the corpus duplicate rate
+    * (VERDICT r3 wrongness #2). Above the gate the joins degrade to
+    * candidate-bounded shuffles (production would bucket the embedding
+    * table by vec_id so only pair rows move).
+    */
+  private def verifyCosinePairs(c: DataFrame, rawCand: DataFrame,
+      threshold: Double): DataFrame = {
     val obs = org.apache.spark.sql.Observation()
     val cand = Candidates.stage(
       rawCand.observe(obs, count(lit(1)).as("n")))
@@ -252,6 +263,46 @@ object Similarity {
         round(cosine(col("ea"), col("eb")), 4).as("sim"))
       .filter(col("sim") >= threshold)
       .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** SemDeDup (Abbas et al. 2023): semantic dedup WITHIN coarse
+    * clusters — each vector is assigned to cells of the Lloyd-refined
+    * IVF codebook ([[ivfCentroidsRefined]] — the k-means the paper
+    * clusters with, here shared with the ANN index), and only pairs
+    * sharing a cell are cosine-verified against the threshold. The
+    * assignment is the SAME 2-way multi-assignment the ANN index
+    * persists ([[writeCellAssignments]]) — the paper's single-cell
+    * form loses exactly the pairs whose members straddle a Voronoi
+    * boundary (measured at sf0.01: the split pair is a cos≈0.97
+    * near-identical whose scaled twin crosses a cell edge — boundary
+    * geometry, not pair similarity, decides the miss), and 2-way
+    * redundancy is the standing answer to boundary effects in both
+    * our LSH and IVF paths. This is the index-backed production shape
+    * of embedding dedup: candidate generation is ONE equi-join on a
+    * small int cell key over the assignment table the deployment
+    * already maintains, embeddings re-attach to candidate pairs only,
+    * and the pairwise work is Σ cell² instead of N². At 100 TB the
+    * codebook grows ~√N cells, keeping cell population ~√N — and each
+    * cell's pair generation is an independent partition of the
+    * cell-keyed shuffle (hot cells split by AQE skew handling; the
+    * LSH form [[cosineDupsLsh]] remains the alternative when no
+    * codebook exists). Within-shared-cell is the operator's
+    * DEFINITION, so the DuckDB oracle mirrors it exactly — recall vs
+    * the global exact baseline is measured and pinned in PipelineSpec
+    * instead of being part of the gate.
+    */
+  def semDedup(s: SparkSession, dir: String,
+      threshold: Double = 0.9): DataFrame = {
+    val cents = ivfCentroidsRefined(s, dir)
+    val c = dupCorpus(s, dir)
+    val assigned = c.select(col("vec_id"),
+      explode(Ivf.topCells(col("e"), cents, IvfAssign)).as("cell"))
+    val rawCand = assigned.as("a")
+      .join(assigned.as("b"), col("a.cell") === col("b.cell") &&
+        col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    verifyCosinePairs(c, rawCand, threshold)
   }
 
   /** Fixture split for the incremental embedding path (mirrors
