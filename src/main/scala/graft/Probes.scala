@@ -933,3 +933,55 @@ object ProbeJobCBytes {
     spark.stop()
   }
 }
+
+/** Round-6 probe: decompose Job C's dominant stage — does the fused
+  * words→signature→band KERNEL scale 8→32, or only the shuffle write
+  * path? Runs the identical banding computation reduced map-side to a
+  * scalar (bit_xor of band keys + count: partial aggregation collapses
+  * per-partition, so NO 69M-row exchange is materialized) in its own
+  * pinned JVM, like ProbeJobCBytes. If the kernel-only pass scales like
+  * Job A (compute-dense) while the full stage does not, the non-scaling
+  * residue is the shuffle write/sort/serialize path specifically.
+  */
+object ProbeJobCKernel {
+  def main(args: Array[String]): Unit = {
+    val cpus = args(0).toInt
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val mReplicas =
+      sys.env.getOrElse("SPARK_GRAFT_MINHASH_REPLICAS", "400").toInt
+    val path = BenchData.ensureTextCorpus(spark, dir, mReplicas)
+    val corpus = spark.read.parquet(path)
+    val n = corpus.count()
+    def rep(): Double = Bench.time {
+      graft.operators.Dedup.bandKeysOf(corpus)
+        .agg(bit_xor(col("bh")), count(lit(1))).collect(): Unit
+    }
+    // scan-only floor: parquet decode + text materialization, no kernel
+    def scanRep(): Double = Bench.time {
+      corpus.agg(sum(length(col("text"))), count(lit(1)))
+        .collect(): Unit
+    }
+    // signature-only (no band explode/agg fan-out): kernel + scan
+    def sigRep(): Double = Bench.time {
+      corpus.select(graft.functions.TextHash
+          .minhashText(col("text"), 3, 96).as("sig"))
+        .agg(bit_xor(element_at(col("sig"), 1)), count(lit(1)))
+        .collect(): Unit
+    }
+    rep(); scanRep(); sigRep() // warm
+    val sec = (1 to 3).map(_ => rep()).min
+    val scanSec = (1 to 3).map(_ => scanRep()).min
+    val sigSec = (1 to 3).map(_ => sigRep()).min
+    println(s"""{"probe":"jobc_kernel","cpus":$cpus,"docs":$n,""" +
+      s""""sec":$sec,"scan_sec":$scanSec,"sig_sec":$sigSec,""" +
+      s""""docs_per_sec":${math.rint(n / sec)}}""")
+    spark.stop()
+  }
+}

@@ -26,6 +26,10 @@ object TextHash {
     GraftBridge.column(MinHashWords(GraftBridge.expression(w), n,
       numHashes))
 
+  def minhashText(text: Column, n: Int, numHashes: Int): Column =
+    GraftBridge.column(MinHashText(GraftBridge.expression(text), n,
+      numHashes))
+
   def simhashValue(w: Column, bits: Int): Column =
     GraftBridge.column(SimHashValue(GraftBridge.expression(w), bits))
 
@@ -182,6 +186,97 @@ final class MinHashWordsKernel(n: Int, numHashes: Int)
     while (k < numHashes) { out(k) = mins(k); k += 1 }
     new GenericArrayData(out)
   }
+}
+
+/** FULLY fused text→signature MinHash kernel (round 6): splits the raw
+  * UTF8String on single spaces IN PLACE — limit -1 semantics, bit-equal
+  * to `split(text, " ")` (empties kept, and a space byte never occurs
+  * inside a UTF-8 multi-byte sequence, so the byte-level scan is exact)
+  * — and exploits that consecutive words in the ORIGINAL text are
+  * already single-space-joined: an n-word shingle's
+  * `concat_ws(" ", ...)` bytes are precisely a CONTIGUOUS slice of the
+  * text, so each window hashes straight from the text's base memory.
+  * Zero per-row allocation (no String, no regex, no words array, no
+  * per-token UTF8Strings, no shingle buffer copy — only the reused
+  * word-offset int buffer and the signature array). The round-6
+  * kernel-only scaling probe showed the banding stage's 8→32
+  * non-scaling residue lives in the split/allocation input path, not
+  * the shuffle — this kernel removes that path. Bit-equal to
+  * `MinHashWords(split(text, " "))` (FunctionsSpec).
+  */
+final class MinHashTextKernel(n: Int, numHashes: Int)
+    extends Serializable {
+  import org.apache.spark.unsafe.Platform
+
+  private val seedH: Array[Long] =
+    Array.tabulate(numHashes)(k => XXH64.hashInt(k, 42L))
+
+  @transient private lazy val localStarts: ThreadLocal[Array[Int]] =
+    ThreadLocal.withInitial(() => new Array[Int](128))
+
+  def signature(text: UTF8String): ArrayData = {
+    val out = new Array[Any](numHashes)
+    val nb = text.numBytes()
+    val base = text.getBaseObject
+    val off = text.getBaseOffset
+    var starts = localStarts.get()
+    var nWords = 1
+    starts(0) = 0
+    var p = 0
+    while (p < nb) {
+      if (Platform.getByte(base, off + p) == ' ') {
+        if (nWords >= starts.length) {
+          starts = java.util.Arrays.copyOf(starts, starts.length * 2)
+          localStarts.set(starts)
+        }
+        starts(nWords) = p + 1
+        nWords += 1
+      }
+      p += 1
+    }
+    if (nWords < n) return new GenericArrayData(out) // nulls, like the
+    val mins = Array.fill(numHashes)(Long.MaxValue)   // no-shingle case
+    var i = 0
+    while (i <= nWords - n) {
+      val s = starts(i)
+      val e = if (i + n < nWords) starts(i + n) - 1 else nb
+      val baseH = XXH64.hashUnsafeBytes(base, off + s, e - s, 42L)
+      var k = 0
+      while (k < numHashes) {
+        val h = XXH64.hashLong(baseH, seedH(k))
+        if (h < mins(k)) mins(k) = h
+        k += 1
+      }
+      i += 1
+    }
+    var k = 0
+    while (k < numHashes) { out(k) = mins(k); k += 1 }
+    new GenericArrayData(out)
+  }
+}
+
+/** `array<long>` MinHash signature straight from the raw text column. */
+case class MinHashText(child: Expression, n: Int, numHashes: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType)
+
+  @transient private lazy val kernel = new MinHashTextKernel(n, numHashes)
+
+  override def nullSafeEval(v: Any): Any =
+    kernel.signature(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode = {
+    val h = ctx.addReferenceObj("minHashTextKernel", kernel,
+      classOf[MinHashTextKernel].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $h.signature($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : MinHashText = copy(child = newChild)
+
+  override def prettyName: String = "minhash_text"
 }
 
 /** `array<long>` MinHash signature straight from the words array. */

@@ -162,16 +162,19 @@ object Dedup {
     * exact-Jaccard verify removes anyway. 16-byte rows, single-column
     * join key. This is also the PERSISTED near-dup index schema
     * ([[writeSignatureTable]]): docs × 32 × 16 bytes, independent of
-    * text size. Built through the fused words→signature kernel — no
-    * shingle strings/sets/arrays allocated (the minima are invariant to
-    * the duplicates array_distinct would drop, so it is bit-equal to
-    * minhashSignature(shinglesOf(w)) — FunctionsSpec).
+    * text size. Built through the FULLY fused text→signature kernel
+    * ([[graft.functions.MinHashText]], r6) — the raw text is split on
+    * spaces in place and each shingle window hashes as a contiguous
+    * byte slice of the text itself: no String/regex split, no words
+    * array, no shingle strings/sets/buffers allocated (the minima are
+    * invariant to the duplicates array_distinct would drop, so it is
+    * bit-equal to minhashSignature(shinglesOf(split(text))) —
+    * FunctionsSpec, including split's limit -1 edge cases).
     */
   def bandKeysOf(corpusDf: DataFrame): DataFrame = {
     val docs = corpusDf
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
       .select(col("doc_id"),
-        graft.functions.TextHash.minhashWords(col("w"), 3, NumHashes)
+        graft.functions.TextHash.minhashText(col("text"), 3, NumHashes)
           .as("sig"))
     docs.select(col("doc_id"), explode(bandHashesOf(col("sig"))).as("bh"))
   }

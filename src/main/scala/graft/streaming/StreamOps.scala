@@ -131,10 +131,8 @@ object StreamOps {
     import graft.operators.Dedup
     docStream
       .select(col("doc_id"), col("event_time"),
-        split(col("text"), " ").as("w"))
-      .select(col("doc_id"), col("event_time"),
-        graft.functions.TextHash.minhashWords(col("w"), 3, Dedup.NumHashes)
-          .as("sig"))
+        graft.functions.TextHash.minhashText(col("text"), 3,
+          Dedup.NumHashes).as("sig"))
       .select(explode(Dedup.bandHashesOf(col("sig"))).as("bh"),
         col("doc_id"), col("event_time"))
       .as[BandEvent]
@@ -272,6 +270,58 @@ object StreamOps {
       .dropDuplicatesWithinWatermark("id_a", "id_b")
       .select(col("id_a"), col("id_b"))
     verifyPairs(cand, corpusStore, threshold)
+  }
+
+  final case class VecEvent(vec_id: Long, e: Seq[Double],
+    event_time: Timestamp)
+
+  /** Streaming incremental EMBEDDING dedup against the persisted
+    * [[graft.operators.Similarity.writeSignTable]] sign index — the
+    * streaming twin of
+    * [[graft.operators.Similarity.incrementalCosineDups]], completing
+    * the modality × mode matrix (text and embeddings each now have
+    * batch, incremental-vs-stored-index, and streaming forms). Each
+    * arriving vector is signed with the SAME codegen kernel as the
+    * batch path (keys bit-identical by construction) and Hamming-1
+    * probed one-sided; probe keys meet the STORED corpus keys in a
+    * stream-static join, so the candidate stage carries NO stream
+    * state — corpus history lives in the index (production buckets it
+    * by (tbl, sig): a co-located lookup), and the batch append folds
+    * new vectors in for later arrivals. Multi-table matches of the
+    * same pair collapse via `dropDuplicatesWithinWatermark` (state =
+    * pair ids + the arriving embedding within the watermark — without
+    * it a near-identical pair would cosine-verify once per shared
+    * probe key, up to DupTables × (DupBits+1) times); exact cosine
+    * then verifies against the STATIC corpus embedding side,
+    * candidate-bounded. Emits `(id_a, id_b, sim)`, `id_a` from the
+    * indexed corpus, `id_b` from the stream, append mode.
+    */
+  def streamingEmbIndexDedup(vecStream: DataFrame, corpusEmb: DataFrame,
+      signTable: DataFrame, threshold: Double = 0.9): DataFrame = {
+    import graft.operators.Similarity
+    val keyed = vecStream.select(col("vec_id"), col("e"),
+      col("event_time"),
+      posexplode(Similarity.dupSignatures(col("e")))
+        .as(Seq("tbl", "sig")))
+    val probeMasks = 0 +: (0 until Similarity.DupBits).map(1 << _)
+    val probed = keyed.select(col("vec_id"), col("e"),
+      col("event_time"), col("tbl"),
+      explode(array(probeMasks.map(m =>
+        col("sig").bitwiseXOR(lit(m))): _*)).as("sig"))
+    val cand = probed
+      .join(signTable.select(col("vec_id").as("id_a"), col("tbl"),
+        col("sig")), Seq("tbl", "sig"))
+      .filter(col("id_a") =!= col("vec_id"))
+      .select(col("id_a"), col("vec_id").as("id_b"), col("e").as("eb"),
+        col("event_time"))
+      .withWatermark("event_time", "10 minutes")
+      .dropDuplicatesWithinWatermark("id_a", "id_b")
+    cand
+      .join(corpusEmb.select(col("vec_id").as("id_a"),
+        col("e").as("ea")), Seq("id_a"))
+      .select(col("id_a"), col("id_b"),
+        round(Similarity.cosine(col("ea"), col("eb")), 4).as("sim"))
+      .filter(col("sim") >= threshold)
   }
 
   final case class UserEvent(user_id: Long, ts: Timestamp, value: Double)

@@ -158,6 +158,32 @@ class FunctionsSpec extends SparkSpec {
       Dedup.minhashSignatureHof(Dedup.shinglesOfHof(col("w"))).as("spec"))
       .filter(col("fast") =!= col("spec")).count()
     assert(mw === 0)
+    // FULLY fused text→signature kernel (in-place byte split, windows
+    // hashed as contiguous text slices) == the words-array kernel over
+    // split(text, " "), which is itself == the HOF spec form above.
+    // Includes the limit -1 split edges: empty text, consecutive and
+    // trailing spaces, short docs (asserted on an explicit edge corpus
+    // below the real one).
+    val tw = Dedup.corpus(spark, dir)
+      .select(col("text"), split(col("text"), " ").as("w"))
+    val mt = tw.select(
+      graft.functions.TextHash.minhashText(col("text"), 3,
+        Dedup.NumHashes).as("fast"),
+      graft.functions.TextHash
+        .minhashWords(col("w"), 3, Dedup.NumHashes).as("spec"))
+      .filter(col("fast") =!= col("spec")).count()
+    assert(mt === 0)
+    val edges = Seq("", " ", "  ", "a", "a b", "a b c", "a  b  c",
+      " a b c ", "a b c d e", "ab  cd", "µ héllo wörld µ x")
+      .toDF("text")
+      .select(col("text"), split(col("text"), " ").as("w"))
+    val me = edges.select(
+      graft.functions.TextHash.minhashText(col("text"), 3,
+        Dedup.NumHashes).as("fast"),
+      graft.functions.TextHash
+        .minhashWords(col("w"), 3, Dedup.NumHashes).as("spec"))
+      .filter(not(col("fast") <=> col("spec"))).count()
+    assert(me === 0)
     // SimHash: kernel == fold-then-collapse, including the md5-top-60-bit
     // token hash the DuckDB oracle mirrors
     val sv = sh.select(

@@ -223,6 +223,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming embedding index dedup equals the batch incremental " +
+      "path on the real fixture batch") {
+    import graft.operators.Similarity
+    implicit val ctx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val corpus = graft.Tables.embeddings(spark, dir).select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("e"))
+    val path = Dedup.sigTablePath("stream-emb-spec") + "-eidx"
+    Similarity.writeSignTable(corpus, path)
+    // ground truth: the oracle-gated batch incremental operator over
+    // the same stored index and the same increment batch
+    val expected = Similarity.incrementalCosineDups(spark,
+        Similarity.embIncrementBatch(spark, dir), corpus, path)._1
+      .as[(Long, Long, Double)].collect().toSet
+    assert(expected.nonEmpty, "fixture batch must contain near-dups")
+    val batchRows = Similarity.embIncrementBatch(spark, dir)
+      .as[(Long, Seq[Double])].collect()
+    val input = MemoryStream[StreamOps.VecEvent]
+    val out = StreamOps.streamingEmbIndexDedup(input.toDF(), corpus,
+      spark.read.parquet(path))
+    val q = out.writeStream.format("memory").queryName("eidx")
+      .outputMode("append").start()
+    try {
+      // feed the batch across two micro-batches
+      val (b1, b2) = batchRows.splitAt(batchRows.length / 2)
+      input.addData(b1.map { case (id, e) =>
+        StreamOps.VecEvent(id, e, ts(0)) }.toSeq)
+      q.processAllAvailable()
+      input.addData(b2.map { case (id, e) =>
+        StreamOps.VecEvent(id, e, ts(1)) }.toSeq)
+      q.processAllAvailable()
+      val got = spark.table("eidx").as[(Long, Long, Double)]
+        .collect().toSet
+      assert(got === expected,
+        s"stream != batch: missing ${expected.diff(got)}, " +
+          s"extra ${got.diff(expected)}")
+    } finally q.stop()
+  }
+
   test("running per-partition state via mapGroupsWithState") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[PartEvent]
