@@ -27,23 +27,23 @@ object Drift {
       .select(col("event_type"),
         when(dayofmonth(col("ts")) <= 15, "A").otherwise("B").as("snap"),
         least(floor(col("value") / 20).cast("int"), lit(19)).as("bucket"))
-    val counts = ev.groupBy(col("event_type"), col("snap"), col("bucket"))
-      .agg(count(lit(1)).as("cnt"))
-    val totals = counts.groupBy(col("event_type"), col("snap"))
-      .agg(sum(col("cnt")).as("tot"))
-    val frac = counts.join(totals, Seq("event_type", "snap"))
-      .select(col("event_type"), col("snap"), col("bucket"),
-        (col("cnt") / col("tot")).as("p"))
-    // bucket grid: one row per (event_type, bucket) with both fractions
-    val grid = frac.groupBy(col("event_type"), col("bucket"))
-      .agg(
-        coalesce(sum(when(col("snap") === "A", col("p"))), lit(0.0))
-          .as("pa"),
-        coalesce(sum(when(col("snap") === "B", col("p"))), lit(0.0))
-          .as("pb"))
+    // ONE partial-aggregated pass over the fact rows straight to the
+    // (event_type, bucket) grid with both snapshots' counts as
+    // conditional aggregates; the per-snapshot totals that the former
+    // counts→totals→join chain derived with two more shuffles are a
+    // window sum over the (tiny) grid itself. pa/pb are the identical
+    // cnt/tot divisions of the same integer counts.
+    val grid = ev.groupBy(col("event_type"), col("bucket"))
+      .agg(count(when(col("snap") === "A", 1)).as("ca"),
+        count(when(col("snap") === "B", 1)).as("cb"))
+    val wt = Window.partitionBy(col("event_type"))
     val w = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cdf = grid
+      .withColumn("pa",
+        coalesce(col("ca") / sum(col("ca")).over(wt), lit(0.0)))
+      .withColumn("pb",
+        coalesce(col("cb") / sum(col("cb")).over(wt), lit(0.0)))
       .withColumn("cdfa", sum(col("pa")).over(w))
       .withColumn("cdfb", sum(col("pb")).over(w))
       .withColumn("pa_s", greatest(col("pa"), lit(Eps)))

@@ -34,6 +34,38 @@ object Clusters {
     */
   val MaxRounds = 50
 
+  /** Bounded read of an observe() metric riding an eager
+    * localCheckpoint: metrics are delivered asynchronously on the
+    * listener bus after the checkpoint action returns, so poll briefly
+    * and fall back to recomputing from the (already materialized)
+    * checkpoint blocks with a loud warning rather than blocking forever
+    * — the [[Candidates.observedCount]] discipline.
+    */
+  private def observedMetric[A](obs: org.apache.spark.sql.Observation,
+      name: String)(fallback: => A): A = {
+    val deadline = System.nanoTime() + 10000L * 1000000L
+    var m = org.apache.spark.sql.GraftBridge.observationOrEmpty(obs)
+    while (m.isEmpty && System.nanoTime() < deadline)
+      m = org.apache.spark.sql.GraftBridge.observationOrEmpty(obs)
+    m.get(name) match {
+      case Some(v) => v.asInstanceOf[A]
+      case None =>
+        System.err.println("[clusters] WARN checkpoint-ride observe " +
+          s"metric '$name' not delivered within timeout; recomputing " +
+          "from the checkpointed blocks")
+        fallback
+    }
+  }
+
+  private def observedLong(obs: org.apache.spark.sql.Observation,
+      name: String)(fallback: => Long): Long =
+    observedMetric[Long](obs, name)(fallback)
+
+  private def observedDecimal(obs: org.apache.spark.sql.Observation,
+      name: String)(fallback: => java.math.BigDecimal)
+      : java.math.BigDecimal =
+    observedMetric[java.math.BigDecimal](obs, name)(fallback)
+
   /** Connected components of the undirected graph given as
     * `(id_a, id_b)` edge rows: returns `(doc_id, cluster_id)` where
     * `cluster_id` is the component's minimum id. Only nodes appearing
@@ -54,59 +86,83 @@ object Clusters {
     // cluster this would be a reliable checkpoint (HDFS/object store)
     // so lineage loss survives executor failure; locally the block
     // -backed form is the same shape.
-    val edgesM = edges.localCheckpoint(true)
+    //
+    // EVERY driver-visible scalar (edge count, per-round label sum)
+    // rides the checkpoint materialization as an observe() metric —
+    // one Spark action per round instead of two (checkpoint + agg);
+    // under a loaded host the closure's wall time is dominated by the
+    // per-action fixed cost, so halving the action count halves it.
+    val eObs = org.apache.spark.sql.Observation()
+    val edgesM = edges.observe(eObs, count(lit(1)).as("n"))
+      .localCheckpoint(true)
     // a clean corpus has no near-dup pairs at all: return the empty
     // labelling instead of letting the null sum-of-zero-rows signal NPE
-    if (edgesM.isEmpty) {
+    if (observedLong(eObs, "n")(edgesM.count()) == 0L) {
       return edgesM.select(col("id_a").as("doc_id"),
         col("id_a").as("cluster_id")).limit(0)
     }
+    // symmetrized edges PLUS self-loops: with (id, id) rows present, a
+    // round's propagation is min over {label(src) : (src, dst) ∈ sym}
+    // keyed on dst — the node's own label rides the same join+agg as
+    // its neighbours', so each round is ONE equi-join and ONE hash agg
+    // (the former least()-merge needed a second join of labels against
+    // the neighbour minima; min is multiplicity-blind, so the
+    // duplicate self-loops from both endpoints are free)
     val sym = edgesM
       .select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionAll(edgesM.select(col("id_b").as("src"), col("id_a").as("dst")))
-    var labels = sym.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("label"))
-      .localCheckpoint(true)
+      .unionAll(edgesM.select(col("id_a").as("src"), col("id_a").as("dst")))
+      .unionAll(edgesM.select(col("id_b").as("src"), col("id_b").as("dst")))
+    // pointer-jumping shortcut: label ← label(label). Every label IS
+    // a node id (labels start as own ids and only ever take mins of
+    // other labels), so the lookup self-join is total; the jump
+    // roughly halves the remaining hop distance to the component
+    // minimum, turning O(diameter) propagation into O(log diameter).
+    def jump(l: DataFrame): DataFrame = l.as("l")
+      .join(l.select(col("id").as("p_id"),
+        col("label").as("p_label")).as("p"),
+        col("l.label") === col("p.p_id"), "left")
+      .select(col("l.id").as("id"),
+        least(col("l.label"), coalesce(col("p.p_label"), col("l.label")))
+          .as("label"))
     // monotone convergence signal: labels only ever DECREASE, so the
-    // label sum strictly shrinks until the fixpoint — one cheap agg
-    // per round instead of a change-detection join (decimal sum so a
-    // 10^12-node corpus cannot overflow the signal; coalesce belt
-    // under the isEmpty suspender above)
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(coalesce(sum(col("label").cast("decimal(38,0)")),
-        lit(java.math.BigDecimal.ZERO))).head.getDecimal(0)
-    var prevSum = labelSum(labels)
-    var round = 0
+    // label sum strictly shrinks until the fixpoint — one cheap
+    // observed metric per round instead of a change-detection join
+    // (decimal sum so a 10^12-node corpus cannot overflow the signal).
+    // eager checkpoint: materializes the round AND keeps the next
+    // round's plan depth constant.
+    def ckptWithSum(df: DataFrame): (DataFrame, java.math.BigDecimal) = {
+      val o = org.apache.spark.sql.Observation()
+      val m = df.observe(o,
+          coalesce(sum(col("label").cast("decimal(38,0)")),
+            lit(java.math.BigDecimal.ZERO)).as("s"))
+        .localCheckpoint(true)
+      val s = observedDecimal(o, "s")(
+        m.agg(coalesce(sum(col("label").cast("decimal(38,0)")),
+          lit(java.math.BigDecimal.ZERO))).head.getDecimal(0))
+      (m, s)
+    }
+    // ROUND 1 IS FUSED INTO THE INIT: propagation from the identity
+    // labelling needs no join at all — label(src) = src, so the round
+    // is a single min(src)-by-dst aggregation over sym (which, via the
+    // self-loops, already includes each node's own id). The identity
+    // labelling is never materialized.
+    val prop1 = sym.groupBy(col("dst").as("id"))
+      .agg(min(col("src")).as("label"))
+    var (labels, prevSum) = ckptWithSum(jump(prop1))
+    var round = 1
     var converged = false
     while (!converged) {
       round += 1
       require(round <= maxRounds,
         s"component propagation did not converge in $maxRounds rounds")
-      val nbrMin = sym
+      // one equi-join + one hash agg per round (see sym above)
+      val propagated = sym
         .join(labels.select(col("id").as("src"), col("label")),
           Seq("src"))
         .groupBy(col("dst").as("id"))
-        .agg(min(col("label")).as("nbr_label"))
-      val propagated = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nbr_label"), col("label")))
-            .as("label"))
-      // pointer-jumping shortcut: label ← label(label). Every label IS
-      // a node id (labels start as own ids and only ever take mins of
-      // other labels), so the lookup self-join is total; the jump
-      // roughly halves the remaining hop distance to the component
-      // minimum, turning O(diameter) propagation into O(log diameter).
-      // eager checkpoint: materializes this round AND keeps the next
-      // round's plan depth constant
-      val next = propagated.as("l")
-        .join(propagated.select(col("id").as("p_id"),
-          col("label").as("p_label")).as("p"),
-          col("l.label") === col("p.p_id"), "left")
-        .select(col("l.id").as("id"),
-          least(col("l.label"), coalesce(col("p.p_label"), col("l.label")))
-            .as("label"))
-        .localCheckpoint(true)
-      val nextSum = labelSum(next)
+        .agg(min(col("label")).as("label"))
+      val (next, nextSum) = ckptWithSum(jump(propagated))
       labels = next
       converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum

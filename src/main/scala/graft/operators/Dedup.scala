@@ -94,12 +94,23 @@ object Dedup {
     */
   def jaccardPairs(s: SparkSession, dir: String,
       threshold: Double = 0.6): DataFrame = {
+    // the self-join equi-key is the 64-bit hash of the shingle, not the
+    // ~20-byte shingle string: the exchange carries (long, long) rows at
+    // under half the bytes and the join compares longs — same result
+    // modulo 2⁻⁶⁴ hash collisions, the identical modulo the banding path
+    // already rides (bandHashesOf packs band+rows into one xxhash64);
+    // the oracle gate compares against DuckDB's exact string-set SQL.
+    // per-doc set sizes count rows, so they are hash-independent.
     val sh = corpusWords(s, dir)
-      .select(col("doc_id"), explode(shinglesOf(col("w"))).as("sh"))
+      .select(col("doc_id"), explode(shinglesOf(col("w"))).as("shs"))
+      .select(col("doc_id"), xxhash64(col("shs")).as("sh"))
     val sizes = sh.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("sz"))
+    // shuffle_hash: sort-merge would sort every shingle row on both
+    // sides; hash-building one partition's side is linear (the banding
+    // join's rationale, §3.1)
     val shared = sh.as("a")
-      .join(sh.as("b"), col("a.sh") === col("b.sh") &&
+      .join(sh.as("b").hint("shuffle_hash"), col("a.sh") === col("b.sh") &&
         col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .agg(count(lit(1)).as("shared"))

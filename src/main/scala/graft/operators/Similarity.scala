@@ -295,13 +295,32 @@ object Similarity {
       threshold: Double = 0.9): DataFrame = {
     val cents = ivfCentroidsRefined(s, dir)
     val c = dupCorpus(s, dir)
+    // each row carries its OWN full (2-way) assignment as two scalar
+    // ints beside the exploded cell key, so a pair sharing both cells
+    // can be emitted exactly once — in the smaller shared cell — by a
+    // join-side predicate. This replaces the former dropDuplicates over
+    // the within-cell pair explosion (Σ cell² rows shuffled through a
+    // distinct agg purely to undo double-assignment double-counting);
+    // the pair set itself is unchanged, just generated once each.
     val assigned = c.select(col("vec_id"),
-      explode(Ivf.topCells(col("e"), cents, IvfAssign)).as("cell"))
+        Ivf.topCells(col("e"), cents, IvfAssign).as("cells"))
+      .select(col("vec_id"),
+        least(element_at(col("cells"), 1), element_at(col("cells"), 2))
+          .as("c_lo"),
+        greatest(element_at(col("cells"), 1), element_at(col("cells"), 2))
+          .as("c_hi"),
+        explode(col("cells")).as("cell"))
+    // min shared cell of the pair: topCells yields distinct cells, so
+    // S = {a_lo,a_hi} ∩ {b_lo,b_hi} is the shared set, the join key is
+    // in S by construction, and min(S) = a_lo if a_lo ∈ B else a_hi —
+    // keep the pair only where cell == min(S)
+    val minShared = when(col("a.c_lo") === col("b.c_lo") ||
+        col("a.c_lo") === col("b.c_hi"), col("a.c_lo"))
+      .otherwise(col("a.c_hi"))
     val rawCand = assigned.as("a")
       .join(assigned.as("b"), col("a.cell") === col("b.cell") &&
-        col("a.vec_id") < col("b.vec_id"))
+        col("a.vec_id") < col("b.vec_id") && col("a.cell") === minShared)
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
-      .dropDuplicates("id_a", "id_b")
     verifyCosinePairs(c, rawCand, threshold)
   }
 

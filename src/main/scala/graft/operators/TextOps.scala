@@ -186,9 +186,22 @@ object TextOps {
   val SubwordPattern: String = "tion|ment|able|ing|ers|est|the|and|ed|" +
     "er|in|on|at|es|or|an|re|he|[a-z]|[0-9]|[^ ]"
 
-  /** Subword token count of a text column under [[SubwordPattern]]. */
-  def subwordCount(text: Column): Column =
+  /** Subword token count under [[SubwordPattern]] — SPEC form: the
+    * regex engine itself. `regexp_extract_all` materializes every
+    * matched token as a UTF8String only for `size` to discard the
+    * array; the production path is the allocation-free counting kernel
+    * [[subwordCount]] (FunctionsSpec asserts equality over the corpus
+    * and adversarial edge cases).
+    */
+  def subwordCountRegex(text: Column): Column =
     size(regexp_extract_all(text, lit(SubwordPattern), lit(0)))
+
+  /** Production subword token count: one-pass codegen kernel, equal to
+    * [[subwordCountRegex]] by construction (same leftmost-first
+    * alternation order, same find() advance rule).
+    */
+  def subwordCount(text: Column): Column =
+    graft.functions.TokenCount.subwordCount(text)
 
   /** Token counting: whitespace tokens, regex word tokens (a
     * `[a-z]+|[0-9]+` segmentation), the merge-vocab subword count
@@ -200,8 +213,9 @@ object TextOps {
     Tables.documents(s, dir).select(
       col("doc_id"),
       size(split(text, " ")).as("ws_tokens"),
-      size(regexp_extract_all(text, lit("[a-z]+|[0-9]+"), lit(0)))
-        .as("regex_tokens"),
+      // kernel = size(regexp_extract_all(text, "[a-z]+|[0-9]+", 0))
+      // without materializing the run array (FunctionsSpec equality)
+      graft.functions.TokenCount.asciiRunCount(text).as("regex_tokens"),
       subwordCount(text).as("subword_tokens"),
       ceil(length(text) / lit(4.0)).cast("long").as("bpe_est"))
       .orderBy(col("doc_id"))
@@ -518,23 +532,25 @@ object TextOps {
     val hot = ch.groupBy(col("chunk_hash"))
       .agg(countDistinct(col("doc_id")).as("df"))
       .filter(col("df") > maxDf)
-      .select(col("chunk_hash"))
-    val kept = ch.join(hot, Seq("chunk_hash"), "left_anti")
-    val tot = ch.groupBy(col("doc_id")).agg(count(lit(1)).as("n_chunks"))
+      .select(col("chunk_hash"), lit(1).as("hot"))
+    // ONE pass over the chunk rows after the df measurement: a left
+    // join marks each chunk hot/cold and a single per-doc aggregation
+    // produces total count, kept count and the clean digest together.
+    // The former shape (anti-join + separate kept/total aggs + final
+    // outer join) evaluated the chunk subtree three times and shuffled
+    // it twice more; a doc whose every chunk is hot aggregates an empty
+    // collect_list here — concat_ws over it is "" and md5("") matches
+    // the old coalesce fallback exactly.
     // order-stable digest: collect_list is shuffle-order-dependent, so
     // sort the (chunk_idx, chunk_hash) structs before concatenating
-    val keptAgg = kept.groupBy(col("doc_id")).agg(
-      count(lit(1)).as("kept_chunks"),
-      md5(concat_ws("", transform(
-        array_sort(collect_list(struct(col("chunk_idx"),
-          col("chunk_hash")))),
-        c => c.getField("chunk_hash")))).as("clean_digest"))
-    tot.join(keptAgg, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        col("n_chunks").cast("int").as("n_chunks"),
-        coalesce(col("kept_chunks"), lit(0L)).cast("int")
-          .as("kept_chunks"),
-        coalesce(col("clean_digest"), md5(lit(""))).as("clean_digest"))
+    ch.join(hot, Seq("chunk_hash"), "left")
+      .groupBy(col("doc_id")).agg(
+        count(lit(1)).cast("int").as("n_chunks"),
+        count(when(col("hot").isNull, 1)).cast("int").as("kept_chunks"),
+        md5(concat_ws("", transform(
+          array_sort(collect_list(when(col("hot").isNull,
+            struct(col("chunk_idx"), col("chunk_hash"))))),
+          c => c.getField("chunk_hash")))).as("clean_digest"))
       .orderBy(col("doc_id"))
   }
 

@@ -194,6 +194,38 @@ class FunctionsSpec extends SparkSpec {
     assert(sv === 0)
   }
 
+  test("codegen token-count kernels ≡ regex forms on real docs and " +
+      "adversarial strings") {
+    import graft.operators.TextOps
+    // real corpus text (incl. the PII-injected variants with @ / URLs)
+    val dir = "/root/testdata/sf0.01"
+    val texts = Tables.documents(spark, dir).select(col("text"))
+      .unionAll(TextOps.piiCorpus(spark, dir).select(col("text")))
+    val corpusMismatch = texts.select(
+        graft.functions.TokenCount.subwordCount(col("text")).as("k1"),
+        TextOps.subwordCountRegex(col("text")).as("r1"),
+        graft.functions.TokenCount.asciiRunCount(col("text")).as("k2"),
+        size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+"),
+          lit(0))).as("r2"))
+      .filter(col("k1") =!= col("r1") || col("k2") =!= col("r2")).count()
+    assert(corpusMismatch === 0)
+    // edge cases: overlapping merges, leftmost-first alternation order,
+    // digits, uppercase/punctuation ([^ ]), multi-byte code points
+    // (2/3/4-byte UTF-8), empty and all-space strings
+    val edges = Seq("", " ", "   ", "tionment", "theers", "athe", "ana",
+      "este", "inging", "erst", "th", "aand", "xyz123abc",
+      "Hello, Wörld! ß€𝄞", "a b  c",
+      "atatat", "esters", "the end", "1a2b", "REa").toDF("text")
+    val edgeMismatch = edges.select(
+        graft.functions.TokenCount.subwordCount(col("text")).as("k1"),
+        TextOps.subwordCountRegex(col("text")).as("r1"),
+        graft.functions.TokenCount.asciiRunCount(col("text")).as("k2"),
+        size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+"),
+          lit(0))).as("r2"))
+      .filter(col("k1") =!= col("r1") || col("k2") =!= col("r2")).count()
+    assert(edgeMismatch === 0)
+  }
+
   test("codegen cosine kernel ≡ HOF fold tree, bit for bit") {
     import graft.operators.Similarity
     val dir = "/root/testdata/sf0.001"
