@@ -52,6 +52,43 @@ object BenchExtra {
             ts.map(t => f"$t%.3f").mkString("[", ", ", "]"))
         }
         println(f"[benchextra] TOTAL_MIN ${rows.map(_._2.min).sum}%.3f")
+      case "flagship" =>
+        // apportion the flagship's cost: scan / join / mismatch kernel /
+        // rule kernel / full pipeline, each via the noop sink
+        import org.apache.spark.sql.functions._
+        import graft.checks.Validation
+        val reps = args(1).toInt
+        val (d, r) = BenchData.ensureBucketed(spark, sfDir, Bench.Replicas)
+        val docs = spark.table(d)
+        val ref = spark.table(r)
+        def joined = docs.join(
+          ref.select(col("doc_id"), col("spans").as("ref_spans"))
+            .hint("shuffle_hash"), Seq("doc_id"))
+        val variants: Seq[(String, () => org.apache.spark.sql.DataFrame)] =
+          Seq(
+            "scan" -> (() => docs
+              .select(col("doc_id"), size(col("spans")).as("n"))
+              .unionAll(ref.select(col("doc_id"),
+                size(col("spans")).as("n")))),
+            "join" -> (() => joined.select(col("doc_id"),
+              (size(col("spans")) + size(col("ref_spans"))).as("n"))),
+            "mismatch" -> (() => joined.select(col("part"),
+              graft.functions.SpanMismatchIndices.spanMismatchCount(
+                col("spans"), col("ref_spans")).as("n"))
+              .groupBy(col("part")).agg(sum(col("n")))),
+            "rules" -> (() => joined.select(col("part"),
+              graft.functions.SpanRuleViolationCount
+                .spanRuleViolationCount(col("spans"),
+                  graft.rules.RuleCompiler.benchRules).as("n"))
+              .groupBy(col("part")).agg(sum(col("n")))),
+            "full" -> (() => Validation.perPartition(docs, ref)))
+        variants.foreach { case (name, mk) =>
+          spark.sparkContext.setJobDescription(s"flagship:$name")
+          Bench.exec(mk()) // warm
+          val ts = (1 to reps).map(_ => Bench.time(Bench.exec(mk())))
+          println(f"[benchextra] flagship:$name%-10s min=${ts.min}%8.3f " +
+            ts.map(t => f"$t%.3f").mkString("[", ", ", "]"))
+        }
       case "plan" =>
         val outDir = args(1)
         Files.createDirectories(Paths.get(outDir))

@@ -51,6 +51,151 @@ object CompactRule {
   }
 }
 
+/** Hand-specialized byte/code-point matchers for the pattern keywords
+  * the flagship rule set uses. Each is `find()`-equivalent to its
+  * java.util.regex source — including `$`'s match-before-the-FINAL-
+  * line-terminator rule (\n, \r\n, \r, U+0085, U+2028, U+2029) and the
+  * Unicode general categories behind \p{L}\p{N}\p{P} (derived from
+  * Character.getType, which is exactly the regex engine's
+  * classification) — evaluated straight off the UTF8String bytes with
+  * zero allocation. The generic path allocates a String AND a Matcher
+  * per span per pattern rule; with 6 pattern rules × 8 spans × 5M docs
+  * that churn was the dominant flagship rule-kernel cost.
+  * Equivalence with rlike (the HOF compiler's path, same regex engine)
+  * is spec-tested over adversarial strings in FunctionsSpec.
+  */
+private[functions] object FastPatterns {
+  val Generic = 0
+  val MDigits = 1      // ^m[0-9]+$
+  val LowerAlnum = 2   // ^[a-z][a-z0-9]*$
+  val StartsM = 3      // ^m
+  val EndsDigit = 4    // [0-9]$
+  val LnpSpace = 5     // ^[\p{L}\p{N}\p{P} ]*$
+  val NonWsOrEmpty = 6 // ^\S|^$
+
+  def kindOf(regex: String): Int = regex match {
+    case "^m[0-9]+$" => MDigits
+    case "^[a-z][a-z0-9]*$" => LowerAlnum
+    case "^m" => StartsM
+    case "[0-9]$" => EndsDigit
+    case "^[\\p{L}\\p{N}\\p{P} ]*$" => LnpSpace
+    case "^\\S|^$" => NonWsOrEmpty
+    case _ => Generic
+  }
+
+  private def lnpType(t: Int): Boolean = t match {
+    case Character.UPPERCASE_LETTER | Character.LOWERCASE_LETTER |
+        Character.TITLECASE_LETTER | Character.MODIFIER_LETTER |
+        Character.OTHER_LETTER |
+        Character.DECIMAL_DIGIT_NUMBER | Character.LETTER_NUMBER |
+        Character.OTHER_NUMBER |
+        Character.DASH_PUNCTUATION | Character.START_PUNCTUATION |
+        Character.END_PUNCTUATION | Character.CONNECTOR_PUNCTUATION |
+        Character.OTHER_PUNCTUATION | Character.INITIAL_QUOTE_PUNCTUATION |
+        Character.FINAL_QUOTE_PUNCTUATION => true
+    case _ => false
+  }
+
+  /** ASCII membership of [\p{L}\p{N}\p{P} ]: note $ + < = > ^ ` | ~ are
+    * SYMBOL categories, not \p{P} — the table comes from getType, so it
+    * cannot drift from the engine.
+    */
+  private val lnpAscii: Array[Boolean] = Array.tabulate(128)(i =>
+    i == ' '.toInt || lnpType(Character.getType(i)))
+
+  import org.apache.spark.unsafe.Platform
+
+  /** Position of `$`'s before-final-terminator match: numBytes minus
+    * the final line terminator's byte length (0 if none). `$` also
+    * always matches at numBytes itself.
+    */
+  private def effEnd(base: AnyRef, off: Long, n: Int): Int = {
+    if (n == 0) return 0
+    @inline def b(i: Int): Int = Platform.getByte(base, off + i) & 0xff
+    val last = b(n - 1)
+    if (last == '\n') { if (n >= 2 && b(n - 2) == '\r') n - 2 else n - 1 }
+    else if (last == '\r') n - 1
+    else if (last == 0x85 && n >= 2 && b(n - 2) == 0xC2) n - 2 // U+0085
+    else if ((last == 0xA8 || last == 0xA9) && n >= 3 &&
+      b(n - 3) == 0xE2 && b(n - 2) == 0x80) n - 3 // U+2028 / U+2029
+    else n
+  }
+
+  /** `pattern.matcher(s.toString).find()` for the specialized kinds. */
+  def find(kind: Int, s: UTF8String): Boolean = {
+    val n = s.numBytes()
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    @inline def b(i: Int): Int = Platform.getByte(base, off + i) & 0xff
+    @inline def digit(c: Int): Boolean = c >= '0' && c <= '9'
+    kind match {
+      case StartsM => n >= 1 && b(0) == 'm'
+      case EndsDigit =>
+        // $ matches at effEnd AND at the very end; a digit must END at
+        // one of those positions
+        (n > 0 && digit(b(n - 1))) || {
+          val e = effEnd(base, off, n)
+          e > 0 && e < n && digit(b(e - 1))
+        }
+      case MDigits =>
+        // ^m then ≥1 digits, ending at a $ position: the greedy run can
+        // backtrack to any length, so match iff the digit run from 1
+        // reaches n, or covers some $ position ≥ 2
+        n >= 2 && b(0) == 'm' && {
+          var d = 1
+          while (d < n && digit(b(d))) d += 1
+          if (d == n) true
+          else { val e = effEnd(base, off, n); e >= 2 && e <= d }
+        }
+      case LowerAlnum =>
+        n >= 1 && b(0) >= 'a' && b(0) <= 'z' && {
+          var r = 1
+          while (r < n && ((b(r) >= 'a' && b(r) <= 'z') || digit(b(r))))
+            r += 1
+          if (r == n) true
+          else { val e = effEnd(base, off, n); e >= 1 && e <= r }
+        }
+      case LnpSpace =>
+        // maximal class run from 0 must reach effEnd (or cover all
+        // bytes); decode code points only off the ASCII fast path
+        val e = effEnd(base, off, n)
+        var q = 0
+        var go = true
+        while (go && q < n) {
+          val c = b(q)
+          if (c < 0x80) {
+            if (lnpAscii(c)) q += 1 else go = false
+          } else {
+            var cp = -1
+            var len = 0
+            if ((c & 0xE0) == 0xC0 && q + 1 < n) {
+              cp = ((c & 0x1F) << 6) | (b(q + 1) & 0x3F); len = 2
+            } else if ((c & 0xF0) == 0xE0 && q + 2 < n) {
+              cp = ((c & 0x0F) << 12) | ((b(q + 1) & 0x3F) << 6) |
+                (b(q + 2) & 0x3F); len = 3
+            } else if ((c & 0xF8) == 0xF0 && q + 3 < n) {
+              cp = ((c & 0x07) << 18) | ((b(q + 1) & 0x3F) << 12) |
+                ((b(q + 2) & 0x3F) << 6) | (b(q + 3) & 0x3F); len = 4
+            }
+            if (cp >= 0 && lnpType(Character.getType(cp))) q += len
+            else go = false
+          }
+        }
+        q >= e
+      case NonWsOrEmpty =>
+        // \S = [^ \t\n\x0B\f\r] (ASCII-only whitespace set); ^$ matches
+        // the empty string and a string that is ONLY a line terminator
+        if (n == 0) true
+        else {
+          val c = b(0)
+          val ws = c == ' ' || c == '\t' || c == '\n' || c == 0x0B ||
+            c == '\f' || c == '\r'
+          !ws || effEnd(base, off, n) == 0
+        }
+    }
+  }
+}
+
 /** Serializable rule evaluator shared by interpreted eval and generated
   * code; field ordinals resolved once at construction.
   */
@@ -81,6 +226,12 @@ final class RuleCounter(rules: Array[CompactRule],
     rules.map { case r: RequiredC => r.whenKindU.orNull; case _ => null }
   @transient private lazy val patterns: Array[Pattern] =
     rules.map { case p: PatternC => p.pattern; case _ => null }
+  // specialized matcher id per pattern rule (Generic = fall back to
+  // java.util.regex); resolved once from the regex source string
+  private val patKinds: Array[Int] = rules.map {
+    case p: PatternC => FastPatterns.kindOf(p.regex)
+    case _ => FastPatterns.Generic
+  }
   private val hasMin: Array[Boolean] =
     rules.map { case RangeC(_, min, _) => min.isDefined; case _ => false }
   private val mins: Array[Long] =
@@ -112,8 +263,15 @@ final class RuleCounter(rules: Array[CompactRule],
                 row.getUTF8String(kindOrd).equals(k))
               if (gate && row.isNullAt(ord)) count += 1
             case TPat =>
-              if (!row.isNullAt(ord) && !patterns(j)
-                .matcher(row.getUTF8String(ord).toString).find()) count += 1
+              if (!row.isNullAt(ord)) {
+                val pk = patKinds(j)
+                val found =
+                  if (pk != FastPatterns.Generic)
+                    FastPatterns.find(pk, row.getUTF8String(ord))
+                  else patterns(j)
+                    .matcher(row.getUTF8String(ord).toString).find()
+                if (!found) count += 1
+              }
             case TRange =>
               if (!row.isNullAt(ord)) {
                 val x = row.getInt(ord).toLong

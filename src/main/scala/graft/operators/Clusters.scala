@@ -243,7 +243,8 @@ object Clusters {
     */
   def keepQualityStored(s: SparkSession, dir: String): DataFrame =
     keepBestQuality(storedPairEdges(s, dir),
-      TextOps.qualityScoresOf(Dedup.corpus(s, dir)))
+      TextOps.qualityScoresOf(graft.data.Interleaved.spread(
+        Dedup.corpus(s, dir), graft.Tables.documents(s, dir))))
 
   /** QUALITY-AWARE keep rule (VERDICT r4 missing #2): per near-dup
     * cluster keep the BEST-QUALITY member, not the smallest id — the
@@ -262,7 +263,9 @@ object Clusters {
   def keepQuality(s: SparkSession, dir: String): DataFrame = {
     val edges = org.apache.spark.sql.GraftBridge.stripTopSort(
       Dedup.minhashCandidates(s, dir)).select(col("id_a"), col("id_b"))
-    keepBestQuality(edges, TextOps.qualityScoresOf(Dedup.corpus(s, dir)))
+    keepBestQuality(edges, TextOps.qualityScoresOf(
+      graft.data.Interleaved.spread(Dedup.corpus(s, dir),
+        graft.Tables.documents(s, dir))))
   }
 
   /** [[keepQuality]]'s generic core over any `(id_a, id_b)` edge set

@@ -443,7 +443,11 @@ object Dedup {
     val corpusText = Tables.documents(s, dir)
       .select(col("doc_id"), col("text"))
     val path = sigTablePath(dir)
-    writeSignatureTable(corpusText, path)
+    // spread the signing scan: the tiny local parquet is ONE split, so
+    // the un-spread write ran the whole corpus signature kernel on one
+    // task (at scale the scan has many splits and this is a no-op)
+    writeSignatureTable(graft.data.Interleaved.spread(corpusText,
+      Tables.documents(s, dir)), path)
     incrementalDedup(s,
       graft.data.Interleaved.spread(incrementBatch(s, dir),
         Tables.documents(s, dir)),
@@ -489,7 +493,9 @@ object Dedup {
     val docsT = Tables.documents(s, dir)
     val corpusText = docsT.select(col("doc_id"), col("text"))
     val path = sigTablePath(dir) + "-loop"
-    writeSignatureTable(corpusText, path)
+    // spread the signing scan (see incrDedup)
+    writeSignatureTable(
+      graft.data.Interleaved.spread(corpusText, docsT), path)
     val a = graft.data.Interleaved.spread(loopBatchA(s, dir), docsT)
     val pairsA = incrementalDedup(s, a, corpusText, path)._1
       .select(lit(1).as("batch"), col("id_a"), col("id_b"), col("jaccard"))

@@ -420,7 +420,10 @@ object Similarity {
     val corpus = Tables.embeddings(s, dir).select(col("vec_id"),
       transform(col("embedding"), x => x.cast("double")).as("e"))
     val path = graft.operators.Dedup.sigTablePath(dir) + "-emb"
-    writeSignTable(corpus, path)
+    // spread the signing scan: the local embeddings parquet is one
+    // split, so the un-spread write signed the corpus on one task
+    writeSignTable(graft.data.Interleaved.spread(corpus,
+      Tables.embeddings(s, dir)), path)
     incrementalCosineDups(s, embIncrementBatch(s, dir), corpus, path)._1
   }
 
@@ -515,7 +518,9 @@ object Similarity {
     */
   def writeCellAssignments(s: SparkSession, dir: String,
       path: String): Unit =
-    Tables.embeddings(s, dir).select(col("vec_id"),
+    graft.data.Interleaved.spread(Tables.embeddings(s, dir),
+        Tables.embeddings(s, dir))
+      .select(col("vec_id"),
         explode(Ivf.topCells(col("embedding"),
           ivfCentroidsRefined(s, dir), IvfAssign)).as("cell"))
       .write.mode("overwrite").parquet(path)

@@ -251,7 +251,8 @@ object TextOps {
     * scan for the downstream chunk-level dedup join.
     */
   def contentChunks(s: SparkSession, dir: String): DataFrame =
-    contentChunksOf(Tables.documents(s, dir))
+    contentChunksOf(graft.data.Interleaved.spread(
+      Tables.documents(s, dir), Tables.documents(s, dir)))
 
   /** [[contentChunks]] over any `(doc_id, text)` frame. */
   def contentChunksOf(docs: DataFrame): DataFrame = {
@@ -315,7 +316,11 @@ object TextOps {
 
   def chunkDups(s: SparkSession, dir: String,
       threshold: Double = 0.5): DataFrame =
-    chunkDupsOf(Dedup.corpus(s, dir), threshold)
+    // spread: the duplicated corpus is a union of five projections of
+    // the ONE-split local parquet — un-spread, the CDC chunking kernel
+    // ran on five tasks (no-op at scale, where the scan has many splits)
+    chunkDupsOf(graft.data.Interleaved.spread(Dedup.corpus(s, dir),
+      Tables.documents(s, dir)), threshold)
 
   /** [[chunkDups]] over any `(doc_id, text)` frame. */
   def chunkDupsOf(docs: DataFrame, threshold: Double = 0.5,
@@ -329,19 +334,28 @@ object TextOps {
   def chunkDupsFromChunks(chunkRows: DataFrame, threshold: Double = 0.5,
       maxDf: Int = MaxChunkDf): DataFrame = {
     // distinct per doc: overlap is over chunk SETS, so a repeated
-    // identical chunk inside one document cannot inflate the count
+    // identical chunk inside one document cannot inflate the count.
+    // Every downstream key (distinct, df agg, semi prune, self-join) is
+    // the 64-bit xxhash of the 32-char digest string, not the string —
+    // half the exchange bytes and long compares throughout, identical
+    // results modulo 2⁻⁶⁴ collisions (the jaccardPairs/bandHashesOf
+    // argument; the oracle gate runs on the exact string SQL).
     val ch = chunkRows
-      .select(col("doc_id"), col("chunk_hash")).distinct()
+      .select(col("doc_id"), xxhash64(col("chunk_hash")).as("ch"))
+      .distinct()
     val sizes = ch.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     // hot-chunk guard: drop boilerplate chunks (df > maxDf) before the
     // quadratic-within-group pair join; sizes above stay uncapped
-    val cold = ch.groupBy(col("chunk_hash"))
+    val cold = ch.groupBy(col("ch"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
-      .select(col("chunk_hash"))
-    val chCold = ch.join(cold, Seq("chunk_hash"), "left_semi")
+      .select(col("ch"))
+    val chCold = ch.join(cold, Seq("ch"), "left_semi")
+    // shuffle_hash: no point sorting every chunk row on both sides of
+    // the self-join (§3.1); the identical-side exchange is reused
     val shared = chCold.as("a")
-      .join(chCold.as("b"), col("a.chunk_hash") === col("b.chunk_hash") &&
+      .join(chCold.as("b").hint("shuffle_hash"),
+        col("a.ch") === col("b.ch") &&
         col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .agg(count(lit(1)).as("shared"))
@@ -387,7 +401,8 @@ object TextOps {
       acc => acc.getField("best"))
 
   def repSignals(s: SparkSession, dir: String): DataFrame =
-    repSignalsOf(Tables.documents(s, dir))
+    repSignalsOf(graft.data.Interleaved.spread(
+      Tables.documents(s, dir), Tables.documents(s, dir)))
 
   def repSignalsOf(docs: DataFrame): DataFrame = {
     val w = col("w")
@@ -502,7 +517,8 @@ object TextOps {
   val BoilerDf = 2
 
   def boilerStrip(s: SparkSession, dir: String): DataFrame =
-    boilerStripOf(Dedup.corpus(s, dir))
+    boilerStripOf(graft.data.Interleaved.spread(Dedup.corpus(s, dir),
+      Tables.documents(s, dir)))
 
   /** Boilerplate removal at chunk granularity over any `(doc_id,
     * text)` frame: compute content-defined chunks, measure each chunk
@@ -579,7 +595,12 @@ object TextOps {
   /** The stored chunk table, written once per process (see [[Stored]]). */
   def storedChunks(s: SparkSession, dir: String): DataFrame = {
     val path = chunkTablePath(dir)
-    Stored.ensure(path)(writeChunkTable(Dedup.corpus(s, dir), path))
+    // spread the chunking scan for the once-per-process write: the
+    // tiny local parquet is a single split, so the un-spread write ran
+    // the whole CDC chunking kernel on one task (no-op at scale)
+    Stored.ensure(path)(writeChunkTable(
+      graft.data.Interleaved.spread(Dedup.corpus(s, dir),
+        Tables.documents(s, dir)), path))
     s.read.parquet(path)
   }
 

@@ -311,6 +311,33 @@ class FunctionsSpec extends SparkSpec {
       assert(both.filter(col("hof") =!= col("fast")).count() === 0)
       assert(both.filter(col("fast") > 0).count() > 0)
     }
+    // adversarial field values for the SPECIALIZED pattern matchers
+    // (FastPatterns) vs the HOF path's rlike (the same java.util.regex
+    // engine the generic path uses): line terminators exercising $'s
+    // before-final-terminator rule, ASCII symbols that are NOT \p{P}
+    // ($ + < = > ^ ` | ~), multi-byte letters/punctuation, and the
+    // digit/lowercase run boundaries
+    val adversarial = Seq(
+      "m123", "m", "m1x", "m12\n", "m12\r\n", "m12\n\n", "mm", "M1",
+      "abc", "a", "a1b2", "ab-", "ab\n", "A", "1abc", "",
+      "x5", "x5\n", "5", "\n", "\r", " ", "  x", "\tx", "x ",
+      "word,", "a$b", "a+b", "a~b", "a|b", "a=b", "wörd", "héllo",
+      "a ", "a ", "a", " ", "†punct", "€sym",
+      "ab\ncd", "m1 ", "m\n1")
+    import spark.implicits._
+    val spanDocs = adversarial.zipWithIndex.map { case (v, i) =>
+      (s"p$i", Seq((Option("text"), Option(v), Option(v), Option(i))))
+    }.toDF("doc_id", "raw")
+      .select(col("doc_id"), transform(col("raw"), r => struct(
+        r.getField("_1").as("kind"), r.getField("_2").as("text"),
+        r.getField("_3").as("media_ref"),
+        r.getField("_4").as("offset"))).as("spans"))
+    val adv = spanDocs.select(
+      size(RuleCompiler.violations(col("spans"),
+        RuleCompiler.benchRules)).as("hof"),
+      graft.functions.SpanRuleViolationCount.spanRuleViolationCount(
+        col("spans"), RuleCompiler.benchRules).as("fast"))
+    assert(adv.filter(col("hof") =!= col("fast")).count() === 0)
   }
 
   test("registry binds rulesets and mirrors reference error messages") {
