@@ -109,8 +109,18 @@ object BenchData {
                |LOCATION '$path'""".stripMargin)
         } else {
           val documents = Tables.documents(spark, sfDir)
+          // repartition on the bucket column BEFORE the bucketed write:
+          // bucketBy writes one file per (task, bucket) pair, so an
+          // un-clustered 32-task write produced 32 × 128 = 4096 ~24 KB
+          // files per table and the flagship scan paid 8192 file opens
+          // (guide §6 small-files). Hash-repartitioning by doc_id uses
+          // the same murmur3 bucket function, so each task holds
+          // exactly one bucket → 128 right-sized files, and each
+          // sorted bucket is a single file (sort-elidable by readers).
+          import org.apache.spark.sql.functions.col
           Interleaved.docsScaled(documents, replicas,
               injected = side == "docs")
+            .repartition(Buckets, col("doc_id"))
             .write.mode("overwrite")
             .bucketBy(Buckets, "doc_id").sortBy("doc_id")
             .option("path", path)

@@ -52,6 +52,30 @@ object BenchExtra {
             ts.map(t => f"$t%.3f").mkString("[", ", ", "]"))
         }
         println(f"[benchextra] TOTAL_MIN ${rows.map(_._2.min).sum}%.3f")
+      case "incr2" =>
+        // apportion d_incr_dedup2's cost across its loop steps
+        import org.apache.spark.sql.functions._
+        import graft.operators.{Candidates, Dedup}
+        val docsT = Tables.documents(spark, sfDir)
+        val corpusText = docsT.select(col("doc_id"), col("text"))
+        (1 to args(1).toInt).foreach { _ =>
+          Candidates.releaseAll(blocking = true)
+          val path = Dedup.sigTablePath(sfDir) + "-prof"
+          val t1 = Bench.time(Dedup.writeSignatureTable(
+            graft.data.Interleaved.spread(corpusText, docsT), path))
+          val a = graft.data.Interleaved.spread(
+            Dedup.loopBatchA(spark, sfDir), docsT)
+          val t2 = Bench.time(Bench.exec(
+            Dedup.incrementalDedup(spark, a, corpusText, path)._1))
+          val t3 = Bench.time(Dedup.appendSignatures(a, path))
+          val unionText = corpusText.unionAll(Dedup.loopBatchA(spark, sfDir))
+          val b = graft.data.Interleaved.spread(
+            Dedup.loopBatchB(spark, sfDir), docsT)
+          val t4 = Bench.time(Bench.exec(
+            Dedup.incrementalDedup(spark, b, unionText, path)._1))
+          println(f"[benchextra] incr2 write=$t1%.2f dedupA=$t2%.2f " +
+            f"append=$t3%.2f dedupB=$t4%.2f")
+        }
       case "flagship" =>
         // apportion the flagship's cost: scan / join / mismatch kernel /
         // rule kernel / full pipeline, each via the noop sink

@@ -44,7 +44,11 @@ object Relational {
     */
   def joinShuffle(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
-      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      // shuffled-hash: still the fact-to-fact shuffle join the query
+      // demonstrates, but the per-partition orders build is linear
+      // where sort-merge pays two sorts (§3.1)
+      .join(Tables.orders(s, dir).hint("shuffle_hash"),
+        col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(Tables.customer(s, dir)),
         col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_mktsegment"), col("o_orderstatus"))
