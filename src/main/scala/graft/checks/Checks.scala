@@ -129,10 +129,12 @@ object Validation {
           .hint("shuffle_hash"),
         Seq("doc_id"), "inner")
       .select(col("doc_id"), col("part"),
-        (graft.functions.SpanMismatchIndices.spanMismatchCount(
-          col("spans"), col("ref_spans")) +
-         graft.functions.SpanRuleViolationCount.spanRuleViolationCount(
-          col("spans"), graft.rules.RuleCompiler.benchRules))
+        // fused kernel: mismatch + rule counts in ONE pass over the
+        // span buffers (≡ spanMismatchCount + spanRuleViolationCount,
+        // FunctionsSpec)
+        graft.functions.SpanVerdictCount.spanVerdictCount(
+          col("spans"), col("ref_spans"),
+          graft.rules.RuleCompiler.benchRules)
           .as("n_violations"))
       .withColumn("valid", col("n_violations") === 0)
 

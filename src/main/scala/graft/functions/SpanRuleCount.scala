@@ -248,10 +248,19 @@ final class RuleCounter(rules: Array[CompactRule],
     var count = 0
     var i = 0
     while (i < n) {
-      if (!arr.isNullAt(i)) {
-        val row = arr.getStruct(i, 4)
-        var j = 0
-        while (j < tags.length) {
+      if (!arr.isNullAt(i)) count += countSpan(arr.getStruct(i, 4))
+      i += 1
+    }
+    count
+  }
+
+  /** Violations of ONE span row — the shared inner loop of [[count]]
+    * and the fused flagship kernel [[SpanVerdictCount]].
+    */
+  def countSpan(row: org.apache.spark.sql.catalyst.InternalRow): Int = {
+    var count = 0
+    var j = 0
+    while (j < tags.length) {
           val ord = ords(j)
           tags(j) match {
             case TEnum =>
@@ -281,11 +290,8 @@ final class RuleCounter(rules: Array[CompactRule],
             case TLen =>
               if (!row.isNullAt(ord) &&
                 row.getUTF8String(ord).numChars() < minLens(j)) count += 1
-          }
-          j += 1
-        }
-      }
-      i += 1
+    }
+      j += 1
     }
     count
   }
@@ -333,5 +339,75 @@ object SpanRuleViolationCount {
         "rule set outside the compact surface — use RuleCompiler.violations"))
     GraftBridge.column(
       SpanRuleViolationCount(GraftBridge.expression(spans), compact))
+  }
+}
+
+/** FUSED flagship verdict kernel: span-sequence mismatches PLUS rule
+  * violations in ONE loop over the two span buffers. The separate
+  * [[SpanMismatchCount]] + [[SpanRuleViolationCount]] pair walks the
+  * docs-side span array twice (two codegen round-trips, two bounds/null
+  * scans, two getStruct decodes per span); the fusion walks it once and
+  * is exactly their sum (FunctionsSpec equality on the fixture join).
+  */
+final class VerdictCounter(ki: Int, ti: Int, mi: Int, oi: Int,
+    rc: RuleCounter) extends Serializable {
+  def count(a: ArrayData, b: ArrayData): Int = {
+    val ords = (ki, ti, mi, oi)
+    val na = a.numElements()
+    val n = math.max(na, b.numElements())
+    var c = 0
+    var i = 0
+    while (i < n) {
+      if (SpanCompare.mismatchAt(a, b, i, ords)) c += 1
+      if (i < na && !a.isNullAt(i)) c += rc.countSpan(a.getStruct(i, 4))
+      i += 1
+    }
+    c
+  }
+}
+
+case class SpanVerdictCount(left: Expression, right: Expression,
+    rules: Seq[CompactRule])
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = left.nullable || right.nullable
+
+  @transient private lazy val counter: VerdictCounter = {
+    val (ki, ti, mi, oi) = SpanCompare.fieldOrdinals(left.dataType)
+    val st = left.dataType.asInstanceOf[ArrayType]
+      .elementType.asInstanceOf[StructType]
+    val ordinals = st.fieldNames.zipWithIndex.toMap
+    new VerdictCounter(ki, ti, mi, oi,
+      new RuleCounter(rules.toArray, ordinals, ordinals("kind")))
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    Integer.valueOf(counter.count(
+      l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode = {
+    val h = ctx.addReferenceObj("verdictCounter", counter,
+      classOf[VerdictCounter].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $h.count($a, $b);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SpanVerdictCount =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "span_verdict_count"
+}
+
+object SpanVerdictCount {
+  def spanVerdictCount(spans: Column, refSpans: Column,
+      rules: Seq[SpanRule]): Column = {
+    val compact = CompactRule.from(rules).getOrElse(
+      throw new IllegalArgumentException(
+        "rule set outside the compact surface — use RuleCompiler.violations"))
+    GraftBridge.column(SpanVerdictCount(
+      GraftBridge.expression(spans), GraftBridge.expression(refSpans),
+      compact))
   }
 }

@@ -73,8 +73,19 @@ object Clusters {
     * edge set returns an empty frame rather than NPE-ing on the null
     * sum-of-zero-rows convergence signal (ADVICE r4 medium).
     */
+  /** `materializeEdges = false` skips the edge-set checkpoint: right
+    * when the edges are ALREADY a cheap stored-table scan (the
+    * `*_stored` sweeps) — each round then re-reads the tiny parquet
+    * instead of paying one more eager-materialization action. Fresh
+    * pipelines (MinHash, chunk-overlap) must keep the checkpoint or
+    * every round would re-execute the whole candidate pipeline through
+    * sym's four projections. The empty-edge early return only exists on
+    * the materialized path; un-materialized empty edges converge
+    * through the normal two rounds to the same empty labelling.
+    */
   def connectedComponents(edges: DataFrame,
-      maxRounds: Int = MaxRounds): DataFrame = {
+      maxRounds: Int = MaxRounds,
+      materializeEdges: Boolean = true): DataFrame = {
     // TRUNCATE THE LINEAGE FIRST (localCheckpoint = materialize to
     // blocks + replace the plan with the materialized RDD). Iterative
     // DataFrame algorithms otherwise re-analyze a plan that grows by
@@ -92,14 +103,20 @@ object Clusters {
     // one Spark action per round instead of two (checkpoint + agg);
     // under a loaded host the closure's wall time is dominated by the
     // per-action fixed cost, so halving the action count halves it.
-    val eObs = org.apache.spark.sql.Observation()
-    val edgesM = edges.observe(eObs, count(lit(1)).as("n"))
-      .localCheckpoint(true)
-    // a clean corpus has no near-dup pairs at all: return the empty
-    // labelling instead of letting the null sum-of-zero-rows signal NPE
-    if (observedLong(eObs, "n")(edgesM.count()) == 0L) {
-      return edgesM.select(col("id_a").as("doc_id"),
-        col("id_a").as("cluster_id")).limit(0)
+    val edgesM = if (!materializeEdges) edges else {
+      val eObs = org.apache.spark.sql.Observation()
+      val m = edges.observe(eObs, count(lit(1)).as("n"))
+        .localCheckpoint(true)
+      // a clean corpus has no near-dup pairs at all: return the empty
+      // labelling instead of letting the null sum-of-zero-rows signal
+      // NPE (the coalesce in ckptWithSum is the belt; this is the
+      // suspender — and it returns after one action instead of two
+      // rounds)
+      if (observedLong(eObs, "n")(m.count()) == 0L) {
+        return m.select(col("id_a").as("doc_id"),
+          col("id_a").as("cluster_id")).limit(0)
+      }
+      m
     }
     // symmetrized edges PLUS self-loops: with (id, id) rows present, a
     // round's propagation is min over {label(src) : (src, dst) ∈ sym}
@@ -220,8 +237,10 @@ object Clusters {
     * banding, no verify: the closure's input is just (id_a, id_b)
     * parquet.
     */
-  def dupClustersFrom(edges: DataFrame): DataFrame =
-    connectedComponents(edges.select(col("id_a"), col("id_b")))
+  def dupClustersFrom(edges: DataFrame,
+      materializeEdges: Boolean = true): DataFrame =
+    connectedComponents(edges.select(col("id_a"), col("id_b")),
+        materializeEdges = materializeEdges)
       .select(col("cluster_id"), col("doc_id"),
         (col("doc_id") === col("cluster_id")).as("keep"))
       .orderBy(col("cluster_id"), col("doc_id"))
@@ -234,7 +253,7 @@ object Clusters {
     * table.
     */
   def dupClustersStored(s: SparkSession, dir: String): DataFrame =
-    dupClustersFrom(storedPairEdges(s, dir))
+    dupClustersFrom(storedPairEdges(s, dir), materializeEdges = false)
 
   /** The oracle-gated `d_keep_quality_stored` entry: [[keepQuality]]'s
     * exact output from the stored edge table — the quality projection
@@ -244,7 +263,8 @@ object Clusters {
   def keepQualityStored(s: SparkSession, dir: String): DataFrame =
     keepBestQuality(storedPairEdges(s, dir),
       TextOps.qualityScoresOf(graft.data.Interleaved.spread(
-        Dedup.corpus(s, dir), graft.Tables.documents(s, dir))))
+        Dedup.corpus(s, dir), graft.Tables.documents(s, dir))),
+      materializeEdges = false)
 
   /** QUALITY-AWARE keep rule (VERDICT r4 missing #2): per near-dup
     * cluster keep the BEST-QUALITY member, not the smallest id — the
@@ -271,8 +291,10 @@ object Clusters {
   /** [[keepQuality]]'s generic core over any `(id_a, id_b)` edge set
     * and `(doc_id, quality_score)` frame.
     */
-  def keepBestQuality(edges: DataFrame, quality: DataFrame): DataFrame = {
-    val members = connectedComponents(edges).join(quality, Seq("doc_id"))
+  def keepBestQuality(edges: DataFrame, quality: DataFrame,
+      materializeEdges: Boolean = true): DataFrame = {
+    val members = connectedComponents(edges,
+      materializeEdges = materializeEdges).join(quality, Seq("doc_id"))
     val best = org.apache.spark.sql.expressions.Window
       .partitionBy(col("cluster_id"))
       .orderBy(col("quality_score").desc, col("doc_id"))
@@ -300,10 +322,11 @@ object Clusters {
       .select(col("id_a"), col("id_b")))
 
   private def keepSweepWithEdges(s: SparkSession, dir: String,
-      edges: DataFrame): DataFrame = {
+      edges: DataFrame, materializeEdges: Boolean = true): DataFrame = {
     val kept = org.apache.spark.sql.GraftBridge.stripTopSort(
       TextOps.pipelineKeep(s, dir))
-    val nonKeep = connectedComponents(edges)
+    val nonKeep = connectedComponents(edges,
+        materializeEdges = materializeEdges)
       .filter(col("doc_id") =!= col("cluster_id"))
       .select(col("doc_id").as("keep_id"))
     kept.join(nonKeep, Seq("keep_id"), "left_anti")

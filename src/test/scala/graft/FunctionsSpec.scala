@@ -340,6 +340,25 @@ class FunctionsSpec extends SparkSpec {
     assert(adv.filter(col("hof") =!= col("fast")).count() === 0)
   }
 
+  test("fused SpanVerdictCount ≡ spanMismatchCount + " +
+      "spanRuleViolationCount on the fixture join") {
+    val documents = Tables.documents(spark, "/root/testdata/sf0.001")
+    val docs = graft.data.Interleaved.docs(documents)
+    val ref = graft.data.Interleaved.referenceSpans(documents)
+    val joined = docs.join(
+      ref.select(col("doc_id"), col("spans").as("ref_spans")),
+      Seq("doc_id"))
+    val both = joined.select(
+      graft.functions.SpanVerdictCount.spanVerdictCount(col("spans"),
+        col("ref_spans"), RuleCompiler.benchRules).as("fused"),
+      (graft.functions.SpanMismatchIndices.spanMismatchCount(col("spans"),
+        col("ref_spans")) +
+        graft.functions.SpanRuleViolationCount.spanRuleViolationCount(
+          col("spans"), RuleCompiler.benchRules)).as("pair"))
+    assert(both.filter(col("fused") =!= col("pair")).count() === 0)
+    assert(both.filter(col("fused") > 0).count() > 0)
+  }
+
   test("registry binds rulesets and mirrors reference error messages") {
     val resolved = Seq(
       ("d1", "https://example.org/schemas/kubernetes.json", null),
