@@ -200,7 +200,8 @@ private[functions] object FastPatterns {
   * code; field ordinals resolved once at construction.
   */
 final class RuleCounter(rules: Array[CompactRule],
-    ordinals: Map[String, Int], kindOrd: Int) extends Serializable {
+    ordinals: Map[String, Int], kindOrd: Int,
+    stringField: Array[Boolean]) extends Serializable {
   // per-rule dispatch tables resolved once: no Map lookups, no Option
   // boxing, no pattern-match allocation in the 10^8-spans/s hot loop
   private val TEnum = 0; private val TReq = 1
@@ -255,41 +256,65 @@ final class RuleCounter(rules: Array[CompactRule],
   }
 
   /** Violations of ONE span row — the shared inner loop of [[count]]
-    * and the fused flagship kernel [[SpanVerdictCount]].
+    * and the fused flagship kernel [[SpanVerdictCount]]. The span
+    * struct's four fields are decoded ONCE into locals; the rules loop
+    * then reads locals — the per-rule `row.getUTF8String(ord)` form
+    * allocated a fresh UTF8String wrapper per rule per span (≈25 per
+    * span under the 20-keyword flagship set).
     */
   def countSpan(row: org.apache.spark.sql.catalyst.InternalRow): Int = {
+    // fetch-once locals for the 4-field span struct (null SQL values
+    // stay null / flagged)
+    var u0: UTF8String = null; var u1: UTF8String = null
+    var u2: UTF8String = null; var u3: UTF8String = null
+    var v0 = 0L; var v1 = 0L; var v2 = 0L; var v3 = 0L
+    var n0 = true; var n1 = true; var n2 = true; var n3 = true
+    if (!row.isNullAt(0)) { n0 = false
+      if (stringField(0)) u0 = row.getUTF8String(0) else v0 = row.getInt(0) }
+    if (!row.isNullAt(1)) { n1 = false
+      if (stringField(1)) u1 = row.getUTF8String(1) else v1 = row.getInt(1) }
+    if (!row.isNullAt(2)) { n2 = false
+      if (stringField(2)) u2 = row.getUTF8String(2) else v2 = row.getInt(2) }
+    if (!row.isNullAt(3)) { n3 = false
+      if (stringField(3)) u3 = row.getUTF8String(3) else v3 = row.getInt(3) }
+    @inline def isNul(o: Int): Boolean =
+      if (o == 0) n0 else if (o == 1) n1 else if (o == 2) n2 else n3
+    @inline def str(o: Int): UTF8String =
+      if (o == 0) u0 else if (o == 1) u1 else if (o == 2) u2 else u3
+    @inline def num(o: Int): Long =
+      if (o == 0) v0 else if (o == 1) v1 else if (o == 2) v2 else v3
     var count = 0
     var j = 0
     while (j < tags.length) {
           val ord = ords(j)
           tags(j) match {
             case TEnum =>
-              if (!row.isNullAt(ord) &&
-                !enumSets(j).contains(row.getUTF8String(ord))) count += 1
+              if (!isNul(ord) &&
+                !enumSets(j).contains(str(ord))) count += 1
             case TReq =>
               val k = reqKinds(j)
-              val gate = k == null || (!row.isNullAt(kindOrd) &&
-                row.getUTF8String(kindOrd).equals(k))
-              if (gate && row.isNullAt(ord)) count += 1
+              val gate = k == null || (!isNul(kindOrd) &&
+                str(kindOrd).equals(k))
+              if (gate && isNul(ord)) count += 1
             case TPat =>
-              if (!row.isNullAt(ord)) {
+              if (!isNul(ord)) {
                 val pk = patKinds(j)
                 val found =
                   if (pk != FastPatterns.Generic)
-                    FastPatterns.find(pk, row.getUTF8String(ord))
+                    FastPatterns.find(pk, str(ord))
                   else patterns(j)
-                    .matcher(row.getUTF8String(ord).toString).find()
+                    .matcher(str(ord).toString).find()
                 if (!found) count += 1
               }
             case TRange =>
-              if (!row.isNullAt(ord)) {
-                val x = row.getInt(ord).toLong
+              if (!isNul(ord)) {
+                val x = num(ord)
                 if ((hasMin(j) && x < mins(j)) ||
                   (hasMax(j) && x > maxs(j))) count += 1
               }
             case TLen =>
-              if (!row.isNullAt(ord) &&
-                row.getUTF8String(ord).numChars() < minLens(j)) count += 1
+              if (!isNul(ord) &&
+                str(ord).numChars() < minLens(j)) count += 1
     }
       j += 1
     }
@@ -314,7 +339,8 @@ case class SpanRuleViolationCount(child: Expression,
     val st = child.dataType.asInstanceOf[ArrayType]
       .elementType.asInstanceOf[StructType]
     val ordinals = st.fieldNames.zipWithIndex.toMap
-    new RuleCounter(rules.toArray, ordinals, ordinals("kind"))
+    new RuleCounter(rules.toArray, ordinals, ordinals("kind"),
+      st.fields.map(_.dataType == StringType))
   }
 
   override def nullSafeEval(v: Any): Any =
@@ -379,7 +405,8 @@ case class SpanVerdictCount(left: Expression, right: Expression,
       .elementType.asInstanceOf[StructType]
     val ordinals = st.fieldNames.zipWithIndex.toMap
     new VerdictCounter(ki, ti, mi, oi,
-      new RuleCounter(rules.toArray, ordinals, ordinals("kind")))
+      new RuleCounter(rules.toArray, ordinals, ordinals("kind"),
+        st.fields.map(_.dataType == StringType)))
   }
 
   override def nullSafeEval(l: Any, r: Any): Any =
