@@ -52,6 +52,33 @@ object BenchExtra {
             ts.map(t => f"$t%.3f").mkString("[", ", ", "]"))
         }
         println(f"[benchextra] TOTAL_MIN ${rows.map(_._2.min).sum}%.3f")
+      case "minhash" =>
+        // apportion d_minhash_pairs: signature projection alone, banding
+        // join alone, then the full candidate+verify pipeline
+        import org.apache.spark.sql.functions._
+        import graft.operators.{Candidates, Dedup}
+        val corpusDf = graft.data.Interleaved.spread(
+          Dedup.corpus(spark, sfDir), Tables.documents(spark, sfDir))
+        (1 to args(1).toInt).foreach { _ =>
+          Candidates.releaseAll(blocking = true)
+          val t0 = Bench.time(Bench.exec(corpusDf.select(col("doc_id"),
+            graft.functions.TextHash.minhashText(col("text"), 3,
+              Dedup.NumHashes).as("sig"))))
+          val bands = Dedup.bandKeysOf(corpusDf)
+          val t1 = Bench.time(Bench.exec(bands))
+          val rawCand = bands.as("a")
+            .join(bands.as("b").hint("shuffle_hash"),
+              col("a.bh") === col("b.bh") &&
+              col("a.doc_id") < col("b.doc_id"))
+            .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+            .distinct()
+          val t2 = Bench.time(Bench.exec(rawCand))
+          Candidates.releaseAll(blocking = true)
+          val t3 = Bench.time(Bench.exec(
+            Dedup.minhashCandidatesOf(corpusDf)))
+          println(f"[benchextra] minhash sig=$t0%.2f bands=$t1%.2f " +
+            f"candjoin=$t2%.2f full=$t3%.2f")
+        }
       case "incr2" =>
         // apportion d_incr_dedup2's cost across its loop steps
         import org.apache.spark.sql.functions._

@@ -277,6 +277,18 @@ final class RuleCounter(rules: Array[CompactRule],
       if (stringField(2)) u2 = row.getUTF8String(2) else v2 = row.getInt(2) }
     if (!row.isNullAt(3)) { n3 = false
       if (stringField(3)) u3 = row.getUTF8String(3) else v3 = row.getInt(3) }
+    countSpanDecoded(n0, u0, v0, n1, u1, v1, n2, u2, v2, n3, u3, v3)
+  }
+
+  /** The rules loop over ALREADY-DECODED field slots — shared with the
+    * fused flagship kernel, which decodes each span once for both the
+    * mismatch compare and the rules.
+    */
+  def countSpanDecoded(
+      n0: Boolean, u0: UTF8String, v0: Long,
+      n1: Boolean, u1: UTF8String, v1: Long,
+      n2: Boolean, u2: UTF8String, v2: Long,
+      n3: Boolean, u3: UTF8String, v3: Long): Int = {
     @inline def isNul(o: Int): Boolean =
       if (o == 0) n0 else if (o == 1) n1 else if (o == 2) n2 else n3
     @inline def str(o: Int): UTF8String =
@@ -377,15 +389,57 @@ object SpanRuleViolationCount {
   */
 final class VerdictCounter(ki: Int, ti: Int, mi: Int, oi: Int,
     rc: RuleCounter) extends Serializable {
+  private def strEq(x: UTF8String, y: UTF8String): Boolean =
+    if (x == null) y == null else x.equals(y)
+
   def count(a: ArrayData, b: ArrayData): Int = {
-    val ords = (ki, ti, mi, oi)
     val na = a.numElements()
-    val n = math.max(na, b.numElements())
+    val nbb = b.numElements()
+    val n = math.max(na, nbb)
     var c = 0
     var i = 0
     while (i < n) {
-      if (SpanCompare.mismatchAt(a, b, i, ords)) c += 1
-      if (i < na && !a.isNullAt(i)) c += rc.countSpan(a.getStruct(i, 4))
+      if (i >= na || i >= nbb) {
+        c += 1 // index present on one side only = mismatch
+        if (i < na && !a.isNullAt(i)) c += rc.countSpan(a.getStruct(i, 4))
+      } else {
+        val aN = a.isNullAt(i)
+        val bN = b.isNullAt(i)
+        if (aN || bN) {
+          if (!(aN && bN)) c += 1
+          if (!aN) c += rc.countSpan(a.getStruct(i, 4))
+        } else {
+          // decode the a-side span ONCE; both the mismatch compare and
+          // the rules loop read the same locals (the unfused pair
+          // decoded it twice — an extra UnsafeRow wrapper plus four
+          // field re-reads per span)
+          val sa = a.getStruct(i, 4)
+          val sb = b.getStruct(i, 4)
+          val ak = if (sa.isNullAt(ki)) null else sa.getUTF8String(ki)
+          val at = if (sa.isNullAt(ti)) null else sa.getUTF8String(ti)
+          val am = if (sa.isNullAt(mi)) null else sa.getUTF8String(mi)
+          val aoN = sa.isNullAt(oi)
+          val ao = if (aoN) 0 else sa.getInt(oi)
+          val bk = if (sb.isNullAt(ki)) null else sb.getUTF8String(ki)
+          val bt = if (sb.isNullAt(ti)) null else sb.getUTF8String(ti)
+          val bm = if (sb.isNullAt(mi)) null else sb.getUTF8String(mi)
+          val boN = sb.isNullAt(oi)
+          if (!strEq(ak, bk) || !strEq(at, bt) || !strEq(am, bm) ||
+            aoN != boN || (!aoN && ao != sb.getInt(oi))) c += 1
+          // route the decoded values into their ordinal slots (ki/ti/
+          // mi/oi are a permutation of 0..3, constant per plan — the
+          // conditionals fold)
+          @inline def u(slot: Int): UTF8String =
+            if (slot == ki) ak else if (slot == ti) at
+            else if (slot == mi) am else null
+          @inline def nul(slot: Int): Boolean =
+            if (slot == oi) aoN else u(slot) == null
+          @inline def v(slot: Int): Long = if (slot == oi) ao.toLong else 0L
+          c += rc.countSpanDecoded(
+            nul(0), u(0), v(0), nul(1), u(1), v(1),
+            nul(2), u(2), v(2), nul(3), u(3), v(3))
+        }
+      }
       i += 1
     }
     c

@@ -167,8 +167,24 @@ object Clusters {
     val prop1 = sym.groupBy(col("dst").as("id"))
       .agg(min(col("src")).as("label"))
     var (labels, prevSum) = ckptWithSum(jump(prop1))
+    // EARLY EXIT after round 1 — the common case for near-dup graphs
+    // (shallow stars/pairs converge in one propagate+jump round): the
+    // labelling is final iff every edge is label-consistent. Labels are
+    // monotone non-increasing and bounded by the component minimum, so
+    // edge-consistency ⇒ each component uniformly labelled ⇒ the
+    // minimum node m's label is m itself ⇒ the uniform label IS the
+    // component min — exactly the fixpoint the sum loop would confirm
+    // with a full (2-join + agg + checkpoint) round; this probe is two
+    // ids-only joins under a LIMIT 1.
+    val lbls = labels
+    var converged = edgesM
+      .join(lbls.select(col("id").as("id_a"), col("label").as("la")),
+        Seq("id_a"))
+      .join(lbls.select(col("id").as("id_b"), col("label").as("lb")),
+        Seq("id_b"))
+      .filter(col("la") =!= col("lb"))
+      .isEmpty
     var round = 1
-    var converged = false
     while (!converged) {
       round += 1
       require(round <= maxRounds,
