@@ -132,6 +132,19 @@ object BenchExtra {
                 .spanRuleViolationCount(col("spans"),
                   graft.rules.RuleCompiler.benchRules).as("n"))
               .groupBy(col("part")).agg(sum(col("n")))),
+            "join_smj" -> (() => docs.join(
+              ref.select(col("doc_id"), col("spans").as("ref_spans")),
+              Seq("doc_id")).select(col("doc_id"),
+              (size(col("spans")) + size(col("ref_spans"))).as("n"))),
+            "full_smj" -> (() => graft.checks.Verdicts.perPartition(
+              docs.join(ref.select(col("doc_id"),
+                  col("spans").as("ref_spans")), Seq("doc_id"))
+                .select(col("doc_id"), col("part"),
+                  graft.functions.SpanVerdictCount.spanVerdictCount(
+                    col("spans"), col("ref_spans"),
+                    graft.rules.RuleCompiler.benchRules)
+                    .as("n_violations"))
+                .withColumn("valid", col("n_violations") === 0))),
             "full" -> (() => Validation.perPartition(docs, ref)))
         variants.foreach { case (name, mk) =>
           spark.sparkContext.setJobDescription(s"flagship:$name")

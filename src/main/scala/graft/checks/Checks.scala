@@ -80,12 +80,24 @@ object SpanInvariant {
   def mismatches(docs: DataFrame, ref: DataFrame): DataFrame =
     annotate(docs, ref).select(col("doc_id"), col("part"), col("violations"))
 
-  /** Per-doc verdicts: valid iff zero span mismatches. */
+  /** Per-doc verdicts: valid iff zero span mismatches. Counts via the
+    * codegen'd [[graft.functions.SpanMismatchCount]] kernel — the
+    * violation structs the detail path builds (through the interpreted
+    * transform over mismatch indices) exist here only to be size()d,
+    * so the count kernel is the same number without materializing any
+    * struct (FunctionsSpec pins indices ≡ HOF violations and the count
+    * is their length by construction).
+    */
   def verdicts(docs: DataFrame, ref: DataFrame): DataFrame =
-    mismatches(docs, ref)
+    docs.join(
+        ref.select(col("doc_id"), col("spans").as("ref_spans"))
+          .hint("shuffle_hash"),
+        Seq("doc_id"), "inner")
       .select(col("doc_id"), col("part"),
-        (size(col("violations")) === 0).as("valid"),
-        size(col("violations")).as("n_violations"))
+        graft.functions.SpanMismatchIndices.spanMismatchCount(
+          col("spans"), col("ref_spans")).as("n_violations"))
+      .select(col("doc_id"), col("part"),
+        (col("n_violations") === 0).as("valid"), col("n_violations"))
 }
 
 object Uniqueness {

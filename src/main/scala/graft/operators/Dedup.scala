@@ -386,8 +386,14 @@ object Dedup {
       corpusText: DataFrame, corpusBands: DataFrame,
       threshold: Double = 0.6)
       : (DataFrame, org.apache.spark.sql.Observation) = {
-    val (bb, nBb) = Candidates.materialize(
-      bandKeysOf(batch).select(col("doc_id").as("new_id"), col("bh")))
+    // gate count by arithmetic, not materialization: banding fans out
+    // EXACTLY NumHashes/BandSize keys per doc, so a column-pruned
+    // count-only scan of the batch gives the key count without signing
+    // and caching the key frame (bb has exactly one consumer — the
+    // index join — so the cache bought nothing)
+    val nBb = org.apache.spark.sql.GraftBridge.stripTopRepartition(batch)
+      .count() * (NumHashes / BandSize)
+    val bb = bandKeysOf(batch).select(col("doc_id").as("new_id"), col("bh"))
     // batch side broadcasts under the gate (an increment is bounded by
     // the crawl batch size, but it is still DATA-dependent — gate it);
     // above the gate this degrades to a shuffle join keyed on bh where

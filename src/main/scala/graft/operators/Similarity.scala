@@ -375,10 +375,15 @@ object Similarity {
     val keyedB = batch.select(col("vec_id"),
       posexplode(dupSignatures(col("e"))).as(Seq("tbl", "sig")))
     val probeMasks = 0 +: (0 until DupBits).map(1 << _)
-    val (bb, nBb) = Candidates.materialize(
-      keyedB.select(col("vec_id").as("new_id"), col("tbl"),
-        explode(array(probeMasks.map(m =>
-          col("sig").bitwiseXOR(lit(m))): _*)).as("sig")))
+    // gate count by arithmetic (see incrementalDedupFrom): the probe
+    // fan-out is EXACTLY DupTables × (DupBits+1) keys per vector, so a
+    // count-only scan of the batch replaces signing + caching the
+    // single-consumer probe-key frame
+    val nBb = org.apache.spark.sql.GraftBridge.stripTopRepartition(batch)
+      .count() * DupTables * (DupBits + 1)
+    val bb = keyedB.select(col("vec_id").as("new_id"), col("tbl"),
+      explode(array(probeMasks.map(m =>
+        col("sig").bitwiseXOR(lit(m))): _*)).as("sig"))
     val rawCand = stored
       .join(Candidates.hintIfSmall(bb, nBb, Candidates.IdPairRowGate),
         Seq("tbl", "sig"))

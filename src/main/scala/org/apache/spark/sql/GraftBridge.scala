@@ -27,6 +27,18 @@ object GraftBridge {
       case _ => df
     }
 
+  /** Drop a trailing round-robin Repartition (the local-parallelism
+    * spread) from a plan — for row-count probes, where the exchange
+    * would be paid only to count rows it cannot change.
+    */
+  def stripTopRepartition(df: Dataset[Row]): Dataset[Row] =
+    df.queryExecution.logical match {
+      case r: catalyst.plans.logical.Repartition =>
+        classic.Dataset.ofRows(
+          df.sparkSession.asInstanceOf[classic.SparkSession], r.child)
+      case _ => df
+    }
+
   /** Bounded (~100 ms) non-throwing read of an Observation's metrics —
     * `getOrEmpty` is private[sql]; the gate-count helper polls this
     * instead of blocking forever on `get` (ADVICE r5).
