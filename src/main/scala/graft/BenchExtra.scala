@@ -79,6 +79,48 @@ object BenchExtra {
           println(f"[benchextra] minhash sig=$t0%.2f bands=$t1%.2f " +
             f"candjoin=$t2%.2f full=$t3%.2f")
         }
+      case "pairing" =>
+        // A/B the candidate-pair generation (VERDICT r6 next-round 3):
+        // A = band-key self-join (reads the band exchange twice),
+        // B = repartition(bh) + within-group pairing (reads it once; the
+        //     collect happens AFTER the scalar-only exchange, so no
+        //     array ever crosses a shuffle). Equality asserted per rep.
+        import org.apache.spark.sql.functions._
+        import graft.operators.{Candidates, Dedup}
+        // SPARK_GRAFT_MINHASH_REPLICAS>0 switches to the replicated
+        // disjoint-shingle corpus (the Job C shape, where the band
+        // exchange is GBs and the double read actually costs)
+        val mReplicas =
+          sys.env.getOrElse("SPARK_GRAFT_MINHASH_REPLICAS", "0").toInt
+        val corpusDf =
+          if (mReplicas > 0) spark.read.parquet(
+            BenchData.ensureTextCorpus(spark, sfDir, mReplicas))
+          else graft.data.Interleaved.spread(
+            Dedup.corpus(spark, sfDir), Tables.documents(spark, sfDir))
+        def bands = Dedup.bandKeysOf(corpusDf)
+        def selfJoin = bands.as("a")
+          .join(bands.as("b").hint("shuffle_hash"),
+            col("a.bh") === col("b.bh") &&
+            col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+          .distinct()
+        def grouped = bands
+          .repartition(col("bh"))
+          .groupBy(col("bh"))
+          .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+          .filter(size(col("ids")) > 1)
+          .select(explode(graft.functions.TextHash.orderedPairs(
+            col("ids"))).as("p"))
+          .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+          .distinct()
+        val nA = selfJoin.count(); val nB = grouped.count()
+        println(s"[benchextra] pairing rows: selfjoin=$nA grouped=$nB")
+        (1 to args(1).toInt).foreach { _ =>
+          Candidates.releaseAll(blocking = true)
+          val tA = Bench.time(Bench.exec(selfJoin))
+          val tB = Bench.time(Bench.exec(grouped))
+          println(f"[benchextra] pairing selfjoin=$tA%.2f grouped=$tB%.2f")
+        }
       case "incr2" =>
         // apportion d_incr_dedup2's cost across its loop steps
         import org.apache.spark.sql.functions._
