@@ -18,11 +18,56 @@ import org.apache.spark.unsafe.types.UTF8String
   * (the per-row invariant from BASELINE.json input_hint), or an index
   * present on only one side (length mismatch).
   */
+/** Reused cursor over an UnsafeArrayData of 4-field structs: `at(i)`
+  * points ONE mutable UnsafeRow at element i instead of allocating a
+  * fresh wrapper per `getStruct` call (~2 wrappers per span pair on the
+  * 10^8-spans/s hot paths). The slot arithmetic is the documented
+  * UnsafeArrayData element layout (8-byte offset&length per element
+  * after the header) — exactly what `getStruct` computes before
+  * allocating. The returned row is INVALIDATED by the next `at`; hot
+  * loops must fully decode a span before advancing (they do — every
+  * caller copies fields into locals first).
+  */
+private[functions] final class UnsafeSpanCursor extends Serializable {
+  import org.apache.spark.sql.catalyst.expressions.{UnsafeArrayData, UnsafeRow}
+  private val row = new UnsafeRow(4)
+  private var base: AnyRef = _
+  private var off = 0L
+  private var slots = 0L
+
+  def reset(a: UnsafeArrayData): Unit = {
+    base = a.getBaseObject
+    off = a.getBaseOffset
+    slots = off + UnsafeArrayData.calculateHeaderPortionInBytes(
+      a.numElements())
+  }
+
+  def at(i: Int): InternalRow = {
+    val os = org.apache.spark.unsafe.Platform.getLong(base, slots + 8L * i)
+    row.pointTo(base, off + (os >> 32).toInt, os.toInt)
+    row
+  }
+}
+
 private[functions] object SpanCompare {
   def fieldOrdinals(dt: DataType): (Int, Int, Int, Int) = {
     val st = dt.asInstanceOf[ArrayType].elementType.asInstanceOf[StructType]
     (st.fieldIndex("kind"), st.fieldIndex("text"),
       st.fieldIndex("media_ref"), st.fieldIndex("offset"))
+  }
+
+  /** Null-safe field compare of two already-decoded span rows. */
+  def mismatchRows(sa: InternalRow, sb: InternalRow,
+      ords: (Int, Int, Int, Int)): Boolean = {
+    val (ki, ti, mi, oi) = ords
+    def s(row: InternalRow, ord: Int): UTF8String =
+      if (row.isNullAt(ord)) null else row.getUTF8String(ord)
+    !strEq(s(sa, ki), s(sb, ki)) ||
+      !strEq(s(sa, ti), s(sb, ti)) ||
+      !strEq(s(sa, mi), s(sb, mi)) || {
+        val na = sa.isNullAt(oi); val nb = sb.isNullAt(oi)
+        if (na || nb) na != nb else sa.getInt(oi) != sb.getInt(oi)
+      }
   }
 
   private def strEq(a: UTF8String, b: UTF8String): Boolean =
@@ -33,17 +78,7 @@ private[functions] object SpanCompare {
     if (i >= a.numElements() || i >= b.numElements()) return true
     if (a.isNullAt(i) || b.isNullAt(i))
       return !(a.isNullAt(i) && b.isNullAt(i))
-    val (ki, ti, mi, oi) = ords
-    val sa = a.getStruct(i, 4)
-    val sb = b.getStruct(i, 4)
-    def s(row: InternalRow, ord: Int): UTF8String =
-      if (row.isNullAt(ord)) null else row.getUTF8String(ord)
-    !strEq(s(sa, ki), s(sb, ki)) ||
-      !strEq(s(sa, ti), s(sb, ti)) ||
-      !strEq(s(sa, mi), s(sb, mi)) || {
-        val na = sa.isNullAt(oi); val nb = sb.isNullAt(oi)
-        if (na || nb) na != nb else sa.getInt(oi) != sb.getInt(oi)
-      }
+    mismatchRows(a.getStruct(i, 4), b.getStruct(i, 4), ords)
   }
 }
 
@@ -96,16 +131,39 @@ case class SpanMismatchIndices(left: Expression, right: Expression)
   */
 final class MismatchCounter(ki: Int, ti: Int, mi: Int, oi: Int)
     extends Serializable {
-  def count(a: ArrayData, b: ArrayData): Int = {
-    val ords = (ki, ti, mi, oi)
-    val n = math.max(a.numElements(), b.numElements())
-    var c = 0
-    var i = 0
-    while (i < n) {
-      if (SpanCompare.mismatchAt(a, b, i, ords)) c += 1
-      i += 1
-    }
-    c
+  import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+
+  def count(a: ArrayData, b: ArrayData): Int = (a, b) match {
+    case (ua: UnsafeArrayData, ub: UnsafeArrayData) =>
+      // reused-cursor walk: no per-span getStruct wrapper (see
+      // UnsafeSpanCursor); any other shape takes the generic path below
+      val ords = (ki, ti, mi, oi)
+      val na = ua.numElements(); val nb = ub.numElements()
+      val ca = new UnsafeSpanCursor; ca.reset(ua)
+      val cb = new UnsafeSpanCursor; cb.reset(ub)
+      val n = math.max(na, nb)
+      var c = 0
+      var i = 0
+      while (i < n) {
+        val m =
+          if (i >= na || i >= nb) true
+          else if (ua.isNullAt(i) || ub.isNullAt(i))
+            !(ua.isNullAt(i) && ub.isNullAt(i))
+          else SpanCompare.mismatchRows(ca.at(i), cb.at(i), ords)
+        if (m) c += 1
+        i += 1
+      }
+      c
+    case _ =>
+      val ords = (ki, ti, mi, oi)
+      val n = math.max(a.numElements(), b.numElements())
+      var c = 0
+      var i = 0
+      while (i < n) {
+        if (SpanCompare.mismatchAt(a, b, i, ords)) c += 1
+        i += 1
+      }
+      c
   }
 }
 

@@ -4,6 +4,7 @@ import java.util.regex.Pattern
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -244,15 +245,27 @@ final class RuleCounter(rules: Array[CompactRule],
   private val minLens: Array[Int] =
     rules.map { case MinLengthC(_, m) => m; case _ => 0 }
 
-  def count(arr: ArrayData): Int = {
-    val n = arr.numElements()
-    var count = 0
-    var i = 0
-    while (i < n) {
-      if (!arr.isNullAt(i)) count += countSpan(arr.getStruct(i, 4))
-      i += 1
-    }
-    count
+  def count(arr: ArrayData): Int = arr match {
+    case ua: org.apache.spark.sql.catalyst.expressions.UnsafeArrayData =>
+      // reused-cursor walk — no per-span getStruct wrapper allocation
+      val cur = new UnsafeSpanCursor; cur.reset(ua)
+      val n = ua.numElements()
+      var count = 0
+      var i = 0
+      while (i < n) {
+        if (!ua.isNullAt(i)) count += countSpan(cur.at(i))
+        i += 1
+      }
+      count
+    case _ =>
+      val n = arr.numElements()
+      var count = 0
+      var i = 0
+      while (i < n) {
+        if (!arr.isNullAt(i)) count += countSpan(arr.getStruct(i, 4))
+        i += 1
+      }
+      count
   }
 
   /** Violations of ONE span row — the shared inner loop of [[count]]
@@ -392,29 +405,52 @@ final class VerdictCounter(ki: Int, ti: Int, mi: Int, oi: Int,
   private def strEq(x: UTF8String, y: UTF8String): Boolean =
     if (x == null) y == null else x.equals(y)
 
-  def count(a: ArrayData, b: ArrayData): Int = {
-    val na = a.numElements()
-    val nbb = b.numElements()
+  /** The hot entry: when both span buffers are UnsafeArrayData (the
+    * only runtime shape a codegen'd projection over parquet produces),
+    * walk them with TWO REUSED UnsafeRow cursors — `getStruct`
+    * allocates a fresh wrapper per call, which at 5M docs × 8 spans ×
+    * 2 sides was ~80M short-lived objects per flagship rep. The cursor
+    * `pointTo` uses the documented UnsafeArrayData element layout
+    * (8-byte offset&length slot per element after the header — the
+    * exact arithmetic of UnsafeArrayData.getStruct); any other input
+    * shape falls back to the unchanged generic walk, and FunctionsSpec
+    * pins fused ≡ mismatch+rules over the real corpus (which runs this
+    * path).
+    */
+  def count(a: ArrayData, b: ArrayData): Int = (a, b) match {
+    case (ua: org.apache.spark.sql.catalyst.expressions.UnsafeArrayData,
+        ub: org.apache.spark.sql.catalyst.expressions.UnsafeArrayData) =>
+      val ca = new UnsafeSpanCursor; ca.reset(ua)
+      val cb = new UnsafeSpanCursor; cb.reset(ub)
+      countWith(ua, ub, ua.numElements(), ub.numElements(),
+        ca.at, cb.at)
+    case _ =>
+      countWith(a, b, a.numElements(), b.numElements(),
+        i => a.getStruct(i, 4), i => b.getStruct(i, 4))
+  }
+
+  private def countWith(a: ArrayData, b: ArrayData, na: Int, nbb: Int,
+      structA: Int => InternalRow, structB: Int => InternalRow): Int = {
     val n = math.max(na, nbb)
     var c = 0
     var i = 0
     while (i < n) {
       if (i >= na || i >= nbb) {
         c += 1 // index present on one side only = mismatch
-        if (i < na && !a.isNullAt(i)) c += rc.countSpan(a.getStruct(i, 4))
+        if (i < na && !a.isNullAt(i)) c += rc.countSpan(structA(i))
       } else {
         val aN = a.isNullAt(i)
         val bN = b.isNullAt(i)
         if (aN || bN) {
           if (!(aN && bN)) c += 1
-          if (!aN) c += rc.countSpan(a.getStruct(i, 4))
+          if (!aN) c += rc.countSpan(structA(i))
         } else {
           // decode the a-side span ONCE; both the mismatch compare and
           // the rules loop read the same locals (the unfused pair
           // decoded it twice — an extra UnsafeRow wrapper plus four
           // field re-reads per span)
-          val sa = a.getStruct(i, 4)
-          val sb = b.getStruct(i, 4)
+          val sa = structA(i)
+          val sb = structB(i)
           val ak = if (sa.isNullAt(ki)) null else sa.getUTF8String(ki)
           val at = if (sa.isNullAt(ti)) null else sa.getUTF8String(ti)
           val am = if (sa.isNullAt(mi)) null else sa.getUTF8String(mi)
