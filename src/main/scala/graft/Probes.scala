@@ -914,6 +914,11 @@ object ProbeJobCBytes {
         graft.operators.Dedup.minhashCandidatesOf(corpus)))
     }
     rep() // warm-up: codegen + JIT; its stages are discarded below
+    // stage-completed events are delivered asynchronously on the
+    // listener bus: drain the warm-up's late events BEFORE clearing, or
+    // they land after clear() and get attributed to the timed rep
+    // (ADVICE r6 — the timed rep already had the symmetric post-drain)
+    Thread.sleep(500)
     stages.synchronized(stages.clear())
     val sec = rep()
     Thread.sleep(500) // let the last stage-completed events drain

@@ -303,7 +303,40 @@ object Dedup {
     * path stable, which is what the memoized stored-table ensures rely
     * on.
     */
+  /** Once per process: delete `p<pid>/` scratch trees left by DEAD
+    * harness processes (ADVICE r6 — the per-pid isolation meant every
+    * run leaked its tree forever). Live pids are never touched (pid
+    * reuse at worst skips a purge), and deletion races with a
+    * concurrent purger are swallowed per-file.
+    */
+  private lazy val purgeStaleSigDirs: Unit = {
+    import java.nio.file.{Files, Path, Paths}
+    val root = Paths.get(
+      sys.props.getOrElse("graft.sig.dir", "target/graft_sigs"))
+    if (Files.isDirectory(root)) {
+      val self = ProcessHandle.current().pid()
+      def deleteTree(p: Path): Unit = {
+        val s = Files.walk(p)
+        try s.sorted(java.util.Comparator.reverseOrder[Path]())
+          .forEach(f => try Files.deleteIfExists(f) catch {
+            case _: java.io.IOException => ()
+          })
+        finally s.close()
+      }
+      val ls = Files.list(root)
+      try ls.forEach { p =>
+        val name = p.getFileName.toString
+        if (name.startsWith("p")) name.drop(1).toLongOption.foreach { pid =>
+          val h = ProcessHandle.of(pid)
+          if (pid != self && (!h.isPresent || !h.get.isAlive))
+            try deleteTree(p) catch { case _: java.io.IOException => () }
+        }
+      } finally ls.close()
+    }
+  }
+
   def sigTablePath(dir: String): String = {
+    purgeStaleSigDirs
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
     sys.props.getOrElse("graft.sig.dir", "target/graft_sigs") +

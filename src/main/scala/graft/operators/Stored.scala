@@ -14,13 +14,24 @@ package graft.operators
   * so concurrent harnesses never share a table.
   */
 object Stored {
-  private val done = scala.collection.mutable.Set.empty[String]
+  // per-path memo (ADVICE r6): a single object-wide lock held across the
+  // whole Spark write job serialized concurrent first-builds of
+  // UNRELATED tables (edges, chunks, cells); computeIfAbsent only
+  // installs the thunk under the map lock — the write itself runs under
+  // the thunk's own lazy-init lock, so distinct paths build concurrently
+  // while same-path callers still block for exactly one build. A failed
+  // write leaves the lazy val uninitialized, so the next caller retries
+  // (the old behaviour).
+  private val done =
+    new java.util.concurrent.ConcurrentHashMap[String, () => Unit]()
 
   /** Run `write` once per (process, path); later calls are no-ops. */
-  def ensure(path: String)(write: => Unit): Unit = synchronized {
-    if (!done.contains(path)) { write; done += path }
-  }
+  def ensure(path: String)(write: => Unit): Unit =
+    done.computeIfAbsent(path, _ => {
+      lazy val once: Unit = write
+      () => once
+    })()
 
   /** Test hook: forget a path so a spec can force a rewrite. */
-  def reset(path: String): Unit = synchronized { done -= path }
+  def reset(path: String): Unit = done.remove(path)
 }
