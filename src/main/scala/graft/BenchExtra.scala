@@ -195,6 +195,32 @@ object BenchExtra {
           println(f"[benchextra] flagship:$name%-10s min=${ts.min}%8.3f " +
             ts.map(t => f"$t%.3f").mkString("[", ", ", "]"))
         }
+      case "tailcheck" =>
+        // Diagnose the in-bench flagship penalty: run the full query
+        // sweep once (the Bench prelude) in THIS JVM, then time the
+        // flagship min-of-N exactly like Bench does. If the flagship
+        // matches the isolated `flagship` mode, the penalty seen in
+        // full Bench runs is host noise; if it reproduces, it is
+        // in-JVM history (GC/code-cache/fragmentation).
+        import graft.checks.Validation
+        SparkEntry.benchQueries.toSeq.sortBy(_._1).foreach {
+          case (name, fn) =>
+            spark.sparkContext.setJobDescription(name)
+            graft.operators.Candidates.releaseAll(blocking = true)
+            try Bench.exec(fn(spark, sfDir))
+            catch { case _: Throwable => }
+        }
+        graft.operators.Candidates.releaseAll(blocking = true)
+        val (d2, r2) = BenchData.ensureBucketed(spark, sfDir, Bench.Replicas)
+        val docs2 = spark.table(d2)
+        val ref2 = spark.table(r2)
+        spark.sparkContext.setJobDescription("tailcheck:flagship")
+        Bench.exec(Validation.perPartition(docs2, ref2))
+        System.gc()
+        val ts = (1 to args(1).toInt).map(_ =>
+          Bench.time(Bench.exec(Validation.perPartition(docs2, ref2))))
+        println(f"[benchextra] tailcheck flagship min=${ts.min}%8.3f " +
+          ts.map(t => f"$t%.3f").mkString("[", ", ", "]"))
       case "plan" =>
         val outDir = args(1)
         Files.createDirectories(Paths.get(outDir))
